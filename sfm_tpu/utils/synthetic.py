@@ -1,0 +1,179 @@
+"""Synthetic TempleRing-style dataset generator with exact ground truth.
+
+The reference ships the Middlebury TempleRing images + ``templeR_par.txt``
+(absent from this mount); this module renders a drop-in replacement: a
+textured cylinder viewed from a ring of calibrated cameras, written out in
+the exact Middlebury layout (PNG/PGM images + par/ang files) so the full
+pipeline, the eval tools, and the benchmarks all run against known-exact
+ground truth. Geometry conventions match ref py:153-166 (x ~ K(RX+t),
+R,t world→camera).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from pathlib import Path
+
+import numpy as np
+
+
+@dataclasses.dataclass(frozen=True)
+class SyntheticRingSpec:
+    n_frames: int = 12
+    width: int = 640
+    height: int = 480
+    fx: float = 1520.0
+    fy: float = 1520.0
+    cylinder_radius: float = 0.10
+    cylinder_zmin: float = -0.10
+    cylinder_zmax: float = 0.10
+    ring_radius: float = 0.60
+    ring_z: float = 0.05
+    arc_deg: float = 360.0  # total camera arc; 47-frame temple covers full ring
+    texture_size: int = 1024
+    texture_blur: float = 2.0
+    seed: int = 7
+    background: int = 12
+
+
+def _look_at_wc(C: np.ndarray, target: np.ndarray) -> np.ndarray:
+    """World→camera rotation for a camera at C looking at target
+    (camera x right, y down, z forward)."""
+    z = target - C
+    z = z / np.linalg.norm(z)
+    up = np.array([0.0, 0.0, 1.0])
+    if abs(np.dot(z, up)) > 0.999:
+        up = np.array([0.0, 1.0, 0.0])
+    x = np.cross(z, up)
+    x = x / np.linalg.norm(x)
+    y = np.cross(z, x)
+    return np.stack([x, y, z], axis=0)
+
+
+def _make_texture(spec: SyntheticRingSpec) -> np.ndarray:
+    """Smooth high-contrast random texture (θ-periodic) for stable LK."""
+    from scipy.ndimage import gaussian_filter
+
+    rng = np.random.default_rng(spec.seed)
+    W = spec.texture_size
+    H = spec.texture_size // 2
+    tex = rng.standard_normal((H, W))
+    tex = gaussian_filter(tex, spec.texture_blur, mode="wrap")
+    # add a coarser octave for large-scale structure
+    coarse = gaussian_filter(rng.standard_normal((H, W)), spec.texture_blur * 6, mode="wrap")
+    tex = tex + 2.0 * coarse
+    lo, hi = np.percentile(tex, [1, 99])
+    tex = np.clip((tex - lo) / (hi - lo), 0.0, 1.0)
+    return (40.0 + 180.0 * tex).astype(np.float64)
+
+
+def make_ring_cameras(spec: SyntheticRingSpec):
+    """Returns (K, R_list, t_list, centers, lons) — R,t world→camera."""
+    K = np.array(
+        [
+            [spec.fx, 0.0, spec.width / 2.0 - 0.5],
+            [0.0, spec.fy, spec.height / 2.0 - 0.5],
+            [0.0, 0.0, 1.0],
+        ]
+    )
+    target = np.zeros(3)
+    Rs, ts, Cs, lons = [], [], [], []
+    for i in range(spec.n_frames):
+        phi = np.deg2rad(spec.arc_deg) * i / max(spec.n_frames, 1)
+        C = np.array(
+            [
+                spec.ring_radius * np.cos(phi),
+                spec.ring_radius * np.sin(phi),
+                spec.ring_z,
+            ]
+        )
+        R = _look_at_wc(C, target)
+        t = -R @ C
+        Rs.append(R)
+        ts.append(t)
+        Cs.append(C)
+        lons.append(np.rad2deg(phi) - 180.0)
+    return K, np.stack(Rs), np.stack(ts), np.stack(Cs), np.array(lons)
+
+
+def render_frame(spec: SyntheticRingSpec, K, R, t, texture) -> np.ndarray:
+    """Ray-cast the textured cylinder for one camera; returns uint8 image."""
+    H, W = spec.height, spec.width
+    u, v = np.meshgrid(np.arange(W, dtype=np.float64), np.arange(H, dtype=np.float64))
+    Kinv = np.linalg.inv(K)
+    d_cam = np.stack([u.ravel(), v.ravel(), np.ones(H * W)], axis=0)  # (3,HW)
+    d_cam = Kinv @ d_cam
+    d_world = R.T @ d_cam  # (3,HW)
+    C = -R.T @ t  # camera center
+
+    dx, dy, dz = d_world
+    a = dx * dx + dy * dy
+    b = 2.0 * (C[0] * dx + C[1] * dy)
+    c = C[0] * C[0] + C[1] * C[1] - spec.cylinder_radius**2
+    disc = b * b - 4.0 * a * c
+    hit = disc > 0.0
+    sq = np.sqrt(np.maximum(disc, 0.0))
+    tt = (-b - sq) / (2.0 * np.maximum(a, 1e-18))
+    z_hit = C[2] + tt * dz
+    valid = hit & (tt > 1e-6) & (z_hit >= spec.cylinder_zmin) & (z_hit <= spec.cylinder_zmax)
+
+    x_hit = C[0] + tt * dx
+    y_hit = C[1] + tt * dy
+    theta = np.arctan2(y_hit, x_hit)  # [-pi, pi]
+    th, tw = texture.shape
+    tu = (theta + np.pi) / (2.0 * np.pi) * tw
+    tv = (z_hit - spec.cylinder_zmin) / (spec.cylinder_zmax - spec.cylinder_zmin) * (th - 1)
+    tv = np.clip(tv, 0.0, th - 1.001)
+
+    u0 = np.floor(tu).astype(np.int64)
+    v0 = np.floor(tv).astype(np.int64)
+    fu = tu - u0
+    fv = tv - v0
+    u0 = np.mod(u0, tw)
+    u1 = np.mod(u0 + 1, tw)
+    v1 = np.minimum(v0 + 1, th - 1)
+    val = (
+        texture[v0, u0] * (1 - fu) * (1 - fv)
+        + texture[v0, u1] * fu * (1 - fv)
+        + texture[v1, u0] * (1 - fu) * fv
+        + texture[v1, u1] * fu * fv
+    )
+    img = np.full(H * W, float(spec.background))
+    img[valid] = val[valid]
+    return np.clip(img, 0, 255).astype(np.uint8).reshape(H, W)
+
+
+def generate_dataset(out_dir: str | Path, spec: SyntheticRingSpec | None = None,
+                     write_png: bool = True, write_pgm: bool = False) -> Path:
+    """Render the full dataset into ``out_dir`` in Middlebury layout:
+    ``synthR%04d.png`` images + ``synthR_par.txt`` + ``synthR_ang.txt``.
+    Returns out_dir."""
+    from sfm_tpu.utils.dataset import write_pgm as _write_pgm
+
+    spec = spec or SyntheticRingSpec()
+    out = Path(out_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    texture = _make_texture(spec)
+    K, Rs, ts, Cs, lons = make_ring_cameras(spec)
+
+    par_lines = [str(spec.n_frames)]
+    ang_lines = []
+    lat = -np.rad2deg(np.arctan2(spec.ring_z, spec.ring_radius))
+    for i in range(spec.n_frames):
+        name = f"synthR{i + 1:04d}.png"
+        img = render_frame(spec, K, Rs[i], ts[i], texture)
+        if write_png:
+            from PIL import Image
+
+            Image.fromarray(img).save(out / name)
+        if write_pgm:
+            pgm_dir = out / "templeRing_pgm"
+            pgm_dir.mkdir(exist_ok=True)
+            _write_pgm(pgm_dir / f"synthR{i + 1:04d}.pgm", img)
+        vals = np.concatenate([K.ravel(), Rs[i].ravel(), ts[i]])
+        par_lines.append(name + " " + " ".join(f"{x:.17g}" for x in vals))
+        ang_lines.append(f"{lat:.6f} {lons[i]:.6f} {name}")
+
+    (out / "synthR_par.txt").write_text("\n".join(par_lines) + "\n")
+    (out / "synthR_ang.txt").write_text("\n".join(ang_lines) + "\n")
+    return out
