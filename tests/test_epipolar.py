@@ -1,0 +1,117 @@
+"""Two-view geometry on synthetic correspondences with exact GT (SURVEY §4)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sfm_tpu.ops import epipolar, lie, triangulate
+
+
+def make_two_view(rng, n=300, noise=0.0, outlier_frac=0.0):
+    """Random scene + relative pose; returns normalized correspondences.
+
+    Convention: x_j = R x_i + t (cam-i coords -> cam-j coords)."""
+    X = rng.standard_normal((n, 3)) * np.array([0.5, 0.5, 0.3]) + np.array([0, 0, 4.0])
+    w = rng.standard_normal(3) * 0.1
+    R = np.asarray(lie.so3_exp(jnp.asarray(w)))
+    t = rng.standard_normal(3)
+    t = 0.5 * t / np.linalg.norm(t)
+    Xj = X @ R.T + t
+    xi = X[:, :2] / X[:, 2:3]
+    xj = Xj[:, :2] / Xj[:, 2:3]
+    if noise:
+        xi = xi + rng.standard_normal(xi.shape) * noise
+        xj = xj + rng.standard_normal(xj.shape) * noise
+    n_out = int(n * outlier_frac)
+    if n_out:
+        xi[:n_out] = rng.uniform(-0.5, 0.5, (n_out, 2))
+        xj[:n_out] = rng.uniform(-0.5, 0.5, (n_out, 2))
+    return xi, xj, R, t, X
+
+
+def test_eight_point_exact(rng):
+    xi, xj, R, t, _ = make_two_view(rng, n=8)
+    E = np.asarray(epipolar.eight_point_E(jnp.asarray(xi), jnp.asarray(xj)))
+    E_gt = np.asarray(lie.hat(jnp.asarray(t))) @ R
+    # E is scale/sign ambiguous; compare normalized
+    E_n = E / np.linalg.norm(E)
+    E_gt_n = E_gt / np.linalg.norm(E_gt)
+    err = min(np.abs(E_n - E_gt_n).max(), np.abs(E_n + E_gt_n).max())
+    assert err < 1e-6
+
+
+def test_sampson_zero_on_exact(rng):
+    xi, xj, R, t, _ = make_two_view(rng, n=50)
+    E = jnp.asarray(np.asarray(lie.hat(jnp.asarray(t))) @ R)
+    err = np.asarray(epipolar.sampson_error(E, jnp.asarray(xi), jnp.asarray(xj)))
+    assert err.max() < 1e-12
+
+
+def test_decompose_E_contains_truth(rng):
+    xi, xj, R, t, _ = make_two_view(rng, n=20)
+    E = jnp.asarray(np.asarray(lie.hat(jnp.asarray(t))) @ R)
+    Rs, ts = epipolar.decompose_E(E)
+    t_unit = t / np.linalg.norm(t)
+    found = False
+    for k in range(4):
+        dR = np.abs(np.asarray(Rs[k]) - R).max()
+        dt = np.abs(np.asarray(ts[k]) - t_unit).max()
+        if dR < 1e-6 and dt < 1e-6:
+            found = True
+    assert found
+
+
+def test_ransac_recovers_pose_with_outliers(rng):
+    xi, xj, R, t, _ = make_two_view(rng, n=400, noise=2e-4, outlier_frac=0.3)
+    key = jax.random.PRNGKey(0)
+    valid = jnp.ones(len(xi), dtype=bool)
+    rp = epipolar.find_E_ransac(
+        key, jnp.asarray(xi), jnp.asarray(xj), valid,
+        num_hypotheses=512, sampson_thresh=1e-5, min_inliers=50,
+    )
+    assert bool(rp.ok)
+    assert int(rp.num_inliers) > 200
+    t_unit = t / np.linalg.norm(t)
+    rot_err = np.rad2deg(
+        np.linalg.norm(np.asarray(lie.so3_log(jnp.asarray(R.T) @ rp.R)))
+    )
+    dir_err = np.rad2deg(
+        np.arccos(np.clip(abs(float(jnp.dot(rp.t, jnp.asarray(t_unit)))), 0, 1))
+    )
+    # the reference's own edge accuracy vs GT is ~5° (BASELINE.md); the
+    # algebraic 8-point + IRLS refit lands well under that
+    assert rot_err < 1.5, rot_err
+    assert dir_err < 1.5, dir_err
+    # inlier mask must reject most of the planted 30% outliers
+    assert np.asarray(rp.inlier_mask)[:120].mean() < 0.1
+
+
+def test_ransac_padding_invariance(rng):
+    """Padded invalid correspondences must not affect the result."""
+    xi, xj, R, t, _ = make_two_view(rng, n=200, noise=1e-4)
+    key = jax.random.PRNGKey(1)
+    pad = 100
+    xi_p = np.concatenate([xi, np.full((pad, 2), 1e3)])
+    xj_p = np.concatenate([xj, np.full((pad, 2), -1e3)])
+    valid = jnp.concatenate([jnp.ones(200, bool), jnp.zeros(pad, bool)])
+    rp = epipolar.find_E_ransac(
+        key, jnp.asarray(xi_p), jnp.asarray(xj_p), valid,
+        num_hypotheses=256, sampson_thresh=1e-5, min_inliers=50,
+    )
+    assert bool(rp.ok)
+    assert not bool(jnp.any(rp.inlier_mask[200:]))
+
+
+def test_triangulate_dlt_exact(rng):
+    xi, xj, R, t, X = make_two_view(rng, n=64)
+    n = len(X)
+    # world frame = cam i frame: extrinsics a = identity, b = (R,t)
+    Ra = jnp.broadcast_to(jnp.eye(3), (n, 3, 3))
+    ta = jnp.zeros((n, 3))
+    Rb = jnp.broadcast_to(jnp.asarray(R), (n, 3, 3))
+    tb = jnp.broadcast_to(jnp.asarray(t), (n, 3))
+    Xr, za, zb = triangulate.triangulate_dlt(
+        Ra, ta, jnp.asarray(xi), Rb, tb, jnp.asarray(xj)
+    )
+    np.testing.assert_allclose(np.asarray(Xr), X, atol=1e-8)
+    assert bool(jnp.all(za > 0)) and bool(jnp.all(zb > 0))
