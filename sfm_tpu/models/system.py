@@ -1,0 +1,378 @@
+"""End-to-end SfM system: host-driven frame loop over jitted device stages.
+
+TPU-native re-design of the reference orchestrator (reference:
+python/src/templering_sfm.py:858-1063 ``ClassicSystem``; the C++ main
+frame loop cpp:1708-1871). Control flow (keyframe decisions, map
+bookkeeping) stays on the host; every numeric stage — pyramid build,
+KLT step, LO-RANSAC, triangulation, BA, pose graph — is a fixed-shape
+jitted program. Data-dependent sizes are padded to power-of-two buckets
+so the number of distinct compilations stays O(log N).
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sfm_tpu.config import SystemConfig, TranslationMode
+from sfm_tpu.models import mapstate, tracker
+from sfm_tpu.models.mapstate import Edge, Keyframe, MapState
+from sfm_tpu.ops import epipolar, image as im, lie, triangulate
+
+log = logging.getLogger("sfm_tpu")
+
+
+def _next_pow2(n: int, lo: int = 64) -> int:
+    p = lo
+    while p < n:
+        p *= 2
+    return p
+
+
+@jax.jit
+def _to_pyramid3(img_u8):
+    img = img_u8.astype(jnp.float32)
+    return tuple(im.build_pyramid(img, 3))
+
+
+@jax.jit
+def _to_pyramid4(img_u8):
+    img = img_u8.astype(jnp.float32)
+    return tuple(im.build_pyramid(img, 4))
+
+
+def build_pyramid_u8(img_u8, levels: int):
+    if levels == 3:
+        return _to_pyramid3(img_u8)
+    if levels == 4:
+        return _to_pyramid4(img_u8)
+    img = img_u8.astype(jnp.float32)
+    return tuple(im.build_pyramid(img, levels))
+
+
+from functools import partial
+
+
+@partial(jax.jit, static_argnames=("num_hypotheses", "min_inliers"))
+def _two_view_stage(key, K, pi, pj, valid, num_hypotheses: int,
+                    sampson_thresh, min_inliers: int):
+    """Per-frame relative pose + median parallax (ref py:900-913, 882-886;
+    cpp:1739, 1750-1759)."""
+    Kd = K.astype(pi.dtype)
+    xi = epipolar.normalize_by_K(Kd, pi)
+    xj = epipolar.normalize_by_K(Kd, pj)
+    rp = epipolar.find_E_ransac(
+        key, xi, xj, valid,
+        num_hypotheses=num_hypotheses,
+        sampson_thresh=sampson_thresh,
+        min_inliers=min_inliers,
+    )
+    flow = jnp.linalg.norm(pj - pi, axis=-1)
+    parallax = jnp.nanmedian(jnp.where(valid, flow, jnp.nan))
+    return rp, jnp.nan_to_num(parallax)
+
+
+@jax.jit
+def _triangulate_stage(K, R_a, t_a, uv_a, R_b, t_b, uv_b, valid):
+    """Batched first-vs-last triangulation with cheirality + reprojection
+    gating (ref py:922-949 / cpp:1801-1813)."""
+    Kd = K.astype(uv_a.dtype)
+    xa = epipolar.normalize_by_K(Kd, uv_a)
+    xb = epipolar.normalize_by_K(Kd, uv_b)
+    X, za, zb = triangulate.triangulate_dlt(R_a, t_a, xa, R_b, t_b, xb)
+    err_a = triangulate.reprojection_error(R_a, t_a, X, xa)
+    err_b = triangulate.reprojection_error(R_b, t_b, X, xb)
+    ok = valid & (za > 1e-6) & (zb > 1e-6) & (err_a < 0.01) & (err_b < 0.01)
+    return X, ok
+
+
+class SfMSystem:
+    """The flagship pipeline. ref: ClassicSystem py:858-1063."""
+
+    def __init__(self, K: np.ndarray, cfg: SystemConfig, gt_records=None):
+        self.K = np.asarray(K, np.float64)
+        self.cfg = cfg
+        self.gt = gt_records  # list[MiddleburyRecord] for --use-gt-scale
+        self.kfs: list[Keyframe] = []
+        self.edges: list[Edge] = []
+        self.map = MapState()
+        self.pose_R = np.eye(3)  # camera-to-world of current frame
+        self.pose_t = np.zeros(3)
+        self.state: tracker.TrackerState | None = None
+        self.prev_pyr = None
+        self.prev_frame_idx = -1
+        self.last_kf_frame = -10**9
+        self.first_obs: dict[int, tuple[int, np.ndarray]] = {}  # tid -> (kf_id, uv)
+        self._key = jax.random.PRNGKey(cfg.ransac.seed)
+        self._Kj = jnp.asarray(self.K, jnp.float32)
+        self.metrics: list[dict] = []
+        # hooks installed by higher layers (BA / loop closure / pose graph)
+        self.on_keyframe = []
+
+    # ------------------------------------------------------------------
+    def _next_key(self):
+        self._key, sub = jax.random.split(self._key)
+        return sub
+
+    def process(self, frame_idx: int, img_name: str, gray_u8: np.ndarray) -> dict:
+        """Feed one frame (ref py:1022-1059). Returns per-frame metrics."""
+        t0 = time.perf_counter()
+        cfg = self.cfg
+        pyr = build_pyramid_u8(jnp.asarray(gray_u8), cfg.klt.pyr_levels)
+        met = {"frame": frame_idx, "image": img_name}
+
+        if self.state is None:
+            self.state = tracker.bootstrap(pyr[0], cfg.klt)
+            self.prev_pyr = pyr
+            self.prev_frame_idx = frame_idx
+            self._add_keyframe(frame_idx, img_name)
+            met.update(keyframe=True, tracks=int(jnp.sum(self.state.valid)))
+            met["dt"] = time.perf_counter() - t0
+            self.metrics.append(met)
+            return met
+
+        self.state, prev_pos, matched = tracker.step(
+            self.prev_pyr, pyr, self.state, cfg.klt
+        )
+        rp, parallax = _two_view_stage(
+            self._next_key(),
+            self._Kj,
+            prev_pos.astype(jnp.float32),
+            self.state.pos.astype(jnp.float32),
+            matched,
+            num_hypotheses=cfg.ransac.num_hypotheses,
+            sampson_thresh=cfg.ransac.sampson_thresh,
+            min_inliers=cfg.ransac.min_inliers,
+        )
+        ok = bool(rp.ok)
+        inliers = int(rp.num_inliers)
+        parallax = float(parallax)
+
+        force_kf = False
+        if ok:
+            R_ji = np.asarray(rp.R, np.float64)
+            t_ji = np.asarray(rp.t, np.float64)
+            scale = self._edge_scale(self.prev_frame_idx, frame_idx)
+            # T_cw' = T_cw ∘ T_ji^{-1} (ref py:117-127), host-side 3x3 math
+            R_ij = R_ji.T
+            t_ij = -R_ji.T @ (t_ji * scale)
+            self.pose_t = self.pose_R @ t_ij + self.pose_t
+            self.pose_R = self.pose_R @ R_ij
+        else:
+            # geometry failure forces a keyframe (ref py:1031-1033 /
+            # cpp:1740-1743)
+            force_kf = True
+
+        gap = frame_idx - self.last_kf_frame
+        make_kf = force_kf or (
+            gap >= cfg.keyframe.min_gap
+            and (
+                parallax >= cfg.keyframe.parallax_px
+                or inliers < cfg.keyframe.min_inliers
+            )
+        )
+        if make_kf:
+            self._add_keyframe(frame_idx, img_name)
+
+        self.prev_pyr = pyr
+        self.prev_frame_idx = frame_idx
+        met.update(
+            keyframe=make_kf,
+            inliers=inliers,
+            parallax=parallax,
+            tracks=int(jnp.sum(self.state.valid)),
+            map_points=self.map.num_points,
+            edges=len(self.edges),
+        )
+        met["dt"] = time.perf_counter() - t0
+        self.metrics.append(met)
+        log.info(
+            "frame %d | kf=%s | inliers=%d | parallax=%.2f | tracks=%d | "
+            "map_points=%d | edges=%d",
+            frame_idx, make_kf, inliers, parallax, met["tracks"],
+            met["map_points"], met["edges"],
+        )
+        return met
+
+    # ------------------------------------------------------------------
+    def _edge_scale(self, i_frame: int, j_frame: int) -> float:
+        """GT baseline scaling (ref py:888-898) or unit norm."""
+        if self.cfg.use_gt_scale and self.gt is not None:
+            Ci = self.gt[i_frame].center
+            Cj = self.gt[j_frame].center
+            s = float(np.linalg.norm(Cj - Ci))
+            if s > 1e-12:
+                return s
+        return 1.0
+
+    def _add_keyframe(self, frame_idx: int, img_name: str) -> None:
+        """ref py:951-988 add_keyframe / cpp:1765-1871 keyframe block."""
+        kf_id = len(self.kfs)
+        ids = np.asarray(self.state.ids).copy()
+        uv = np.asarray(self.state.pos, np.float64).copy()
+        valid = np.asarray(self.state.valid).copy()
+
+        if kf_id > 0:
+            # estimate the odometry edge FIRST and anchor this keyframe's
+            # pose on it: the keyframe-to-keyframe estimate has more
+            # parallax than the per-frame chain, so deriving the pose from
+            # the edge stops per-frame direction noise from accumulating
+            prev = self.kfs[-1]
+            edge = self._estimate_edge(prev, ids, uv, valid, frame_idx)
+            self.edges.append(edge)
+            R_ij = edge.R_ji.T
+            t_ij = -edge.R_ji.T @ edge.t_ji
+            self.pose_t = prev.R_cw @ t_ij + prev.t_cw
+            self.pose_R = prev.R_cw @ R_ij
+
+        kf = Keyframe(
+            kf_id=kf_id,
+            frame_idx=frame_idx,
+            img_name=img_name,
+            R_cw=self.pose_R.copy(),
+            t_cw=self.pose_t.copy(),
+            ids=ids,
+            uv=uv,
+            valid=valid,
+        )
+        self.kfs.append(kf)
+        self.last_kf_frame = frame_idx
+        self._update_map(kf)
+
+        for hook in self.on_keyframe:
+            hook(self, kf)
+
+    def _estimate_edge(self, kf_i: Keyframe, ids, uv, valid, frame_idx: int) -> Edge:
+        """Sequential edge re-estimated from slot-aligned shared tracks
+        (ref cpp:1782-1798)."""
+        shared = kf_i.valid & valid & (kf_i.ids == ids)
+        rp, _ = _two_view_stage(
+            self._next_key(),
+            self._Kj,
+            jnp.asarray(kf_i.uv, jnp.float32),
+            jnp.asarray(uv, jnp.float32),
+            jnp.asarray(shared),
+            num_hypotheses=self.cfg.ransac.num_hypotheses,
+            sampson_thresh=self.cfg.ransac.sampson_thresh,
+            min_inliers=self.cfg.ransac.min_inliers,
+        )
+        kf_j_id = len(self.kfs)
+        if bool(rp.ok):
+            R_ji = np.asarray(rp.R, np.float64)
+            t_ji = np.asarray(rp.t, np.float64)
+        else:
+            # fall back to the per-frame composed relative pose
+            Rwj = self.pose_R.T
+            R_ji = Rwj @ kf_i.R_cw
+            t_ji = Rwj @ (kf_i.t_cw - self.pose_t)
+        scale = self._edge_scale(kf_i.frame_idx, frame_idx)
+        if self.cfg.translation_mode != TranslationMode.FULL:
+            n = np.linalg.norm(t_ji)
+            if n > 1e-12:
+                t_ji = t_ji / n * scale
+        return Edge(i=kf_i.kf_id, j=kf_j_id, R_ji=R_ji, t_ji=t_ji,
+                    inliers=int(rp.num_inliers), is_loop=False)
+
+    @staticmethod
+    def _relative_from_poses(kf_i: Keyframe, kf_j: Keyframe):
+        """R_ji, t_ji from camera-to-world poses: x_j = R_ji x_i + t_ji."""
+        R_ji = kf_j.R_cw.T @ kf_i.R_cw
+        Rwj, twj = kf_j.pose_wc
+        # cam_i origin (= its world center, kf_i.t_cw) expressed in cam_j
+        t_ji = Rwj @ kf_i.t_cw + twj
+        return R_ji, t_ji
+
+    def _update_map(self, kf: Keyframe) -> None:
+        """Record observations; triangulate tracks first seen in an earlier
+        keyframe (ref py:935-975, first-vs-last obs)."""
+        alive = np.nonzero(kf.valid)[0]
+        tri_tid, tri_a = [], []
+        for slot in alive:
+            tid = int(kf.ids[slot])
+            uv = kf.uv[slot]
+            pid = self.map.tid2pid.get(tid)
+            if pid is not None:
+                self.map.add_obs(kf.kf_id, pid, uv)
+            elif tid in self.first_obs:
+                tri_tid.append(tid)
+                tri_a.append(slot)
+            else:
+                self.first_obs[tid] = (kf.kf_id, uv.copy())
+
+        if not tri_tid:
+            return
+        n = len(tri_tid)
+        cap = _next_pow2(n)
+        R_a = np.zeros((cap, 3, 3))
+        t_a = np.zeros((cap, 3))
+        uv_a = np.zeros((cap, 2))
+        uv_b = np.zeros((cap, 2))
+        valid = np.zeros(cap, bool)
+        Rwj, twj = kf.pose_wc
+        first_kf_ids = []
+        for k, (tid, slot) in enumerate(zip(tri_tid, tri_a)):
+            fkf_id, fuv = self.first_obs[tid]
+            Rwi, twi = self.kfs[fkf_id].pose_wc
+            R_a[k] = Rwi
+            t_a[k] = twi
+            uv_a[k] = fuv
+            uv_b[k] = kf.uv[slot]
+            valid[k] = True
+            first_kf_ids.append(fkf_id)
+        R_b = np.broadcast_to(Rwj, (cap, 3, 3)).copy()
+        t_b = np.broadcast_to(twj, (cap, 3)).copy()
+        X, ok = _triangulate_stage(
+            jnp.asarray(self.K),
+            jnp.asarray(R_a), jnp.asarray(t_a), jnp.asarray(uv_a),
+            jnp.asarray(R_b), jnp.asarray(t_b), jnp.asarray(uv_b),
+            jnp.asarray(valid),
+        )
+        X = np.asarray(X, np.float64)
+        ok = np.asarray(ok)
+        for k, (tid, slot) in enumerate(zip(tri_tid, tri_a)):
+            if not ok[k]:
+                continue
+            pid = self.map.add_point(tid, X[k])
+            fkf_id, fuv = self.first_obs[tid]
+            self.map.add_obs(fkf_id, pid, fuv)
+            self.map.add_obs(kf.kf_id, pid, kf.uv[slot])
+
+    # ------------------------------------------------------------------
+    # artifact export (ref py:1546-1588 / cpp:1873-1906)
+    def export(self, out_dir, dataset=None) -> dict:
+        from pathlib import Path
+
+        from sfm_tpu.utils import artifacts
+
+        out = Path(out_dir)
+        out.mkdir(parents=True, exist_ok=True)
+        rows = []
+        for kf in self.kfs:
+            lat, lon = (float("nan"), float("nan"))
+            if dataset is not None:
+                lat, lon = dataset.angles_for(kf.img_name)
+            C = kf.center
+            rows.append(
+                dict(kf_id=kf.kf_id, frame_idx=kf.frame_idx, image=kf.img_name,
+                     x=float(C[0]), y=float(C[1]), z=float(C[2]), lat=lat, lon=lon)
+            )
+        artifacts.write_csv_centers(out / "keyframes_camera_centers.csv", rows)
+        edge_rows = []
+        for e in self.edges:
+            rvec = np.asarray(lie.rvec_from_R(jnp.asarray(e.R_ji)), np.float64)
+            edge_rows.append(
+                dict(i=e.i, j=e.j, kind="loop" if e.is_loop else "odom",
+                     rvec=rvec, t=e.t_ji)
+            )
+        artifacts.write_posegraph_edges(out / "posegraph_edges.csv", edge_rows)
+        artifacts.write_ply_xyz(out / "templeRing_sparse_points.ply", self.map.xyz())
+        return {
+            "keyframes": len(self.kfs),
+            "map_points": self.map.num_points,
+            "edges": len(self.edges),
+            "out": str(out),
+        }

@@ -21,7 +21,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from sfm_tpu.ops import linalg
+from sfm_tpu.ops import lie, linalg
 
 
 class RelPose(NamedTuple):
@@ -134,9 +134,63 @@ def triangulate_two_view(R, t, xi, xj):
     return X, zi, zj
 
 
-def _cheirality_vote(Rs, ts, xi, xj, inlier_mask, max_votes: int = 32):
-    """Pick the (R,t) candidate with most points in front of both cameras
-    (ref: cpp:714-754 votes with <=20 triangulated inliers)."""
+def _tangent_basis(t):
+    """(3,2) orthonormal basis of the plane orthogonal to unit vector t."""
+    a = jnp.where(
+        jnp.abs(t[0]) < 0.9,
+        jnp.array([1.0, 0.0, 0.0], t.dtype),
+        jnp.array([0.0, 1.0, 0.0], t.dtype),
+    )
+    b1 = jnp.cross(t, a)
+    b1 = b1 / jnp.linalg.norm(b1)
+    b2 = jnp.cross(t, b1)
+    return jnp.stack([b1, b2], axis=1)
+
+
+def _polish_rt(R0, t0, xi, xj, valid, thr, iters: int = 10, damping: float = 1e-8):
+    """Gauss-Newton on the essential manifold for ONE candidate.
+
+    Parameterizes E = [t]x R with a 5-dof update (so3 twist + 2-dof
+    tangent of unit t) and minimizes the robust Sampson distance. Unlike
+    an algebraic re-fit + cone projection (which is NOT a descent step in
+    narrow-FOV geometry), every iteration here strictly follows the true
+    cost. Designed to be vmapped over candidates."""
+
+    def gn_step(carry, _):
+        R, t = carry
+        B = _tangent_basis(t)
+
+        def resid(p):
+            Rn = lie.so3_exp(p[:3]) @ R
+            tn = t + B @ p[3:]
+            tn = tn / jnp.linalg.norm(tn)
+            E = lie.hat(tn) @ Rn
+            err = sampson_error(E, xi, xj)
+            return jnp.sqrt(jnp.maximum(err, 1e-18))
+
+        p0 = jnp.zeros(5, xi.dtype)
+        r0 = resid(p0)
+        mask = valid & (r0 * r0 < thr)
+        med = jnp.nanmedian(jnp.where(mask, r0, jnp.nan))
+        med = jnp.nan_to_num(med, nan=jnp.sqrt(thr))
+        w = (mask & (r0 < 3.0 * med + 1e-15)).astype(xi.dtype)
+        J = jax.jacfwd(resid)(p0)  # (N,5)
+        Jw = J * w[:, None]
+        H = Jw.T @ J + damping * jnp.eye(5, dtype=xi.dtype)
+        g = Jw.T @ r0
+        dp = -jnp.linalg.solve(H, g)
+        Rn = lie.so3_exp(dp[:3]) @ R
+        tn = t + B @ dp[3:]
+        tn = tn / jnp.linalg.norm(tn)
+        return (Rn, tn), None
+
+    (R, t), _ = jax.lax.scan(gn_step, (R0, t0), None, length=iters)
+    return R, t
+
+
+def _front_votes(Rs, ts, xi, xj, inlier_mask, max_votes: int = 32):
+    """Count triangulated inliers in front of both cameras for each (R,t)
+    candidate in a stacked batch. Returns (votes (...,), n_available ())."""
     # deterministically take the first ``max_votes`` inliers: sort key puts
     # inliers first, stable order otherwise
     order = jnp.argsort(jnp.where(inlier_mask, 0, 1), stable=True)
@@ -144,8 +198,15 @@ def _cheirality_vote(Rs, ts, xi, xj, inlier_mask, max_votes: int = 32):
     sel_valid = inlier_mask[idx]
     vi = xi[idx]
     vj = xj[idx]
-    _, zi, zj = triangulate_two_view(Rs, ts, vi[None], vj[None])  # (4,V)
+    _, zi, zj = triangulate_two_view(Rs, ts, vi[None], vj[None])  # (C,V)
     votes = jnp.sum(((zi > 0) & (zj > 0)) & sel_valid[None], axis=-1)
+    return votes, jnp.sum(sel_valid)
+
+
+def _cheirality_vote(Rs, ts, xi, xj, inlier_mask, max_votes: int = 32):
+    """Pick the (R,t) candidate with most points in front of both cameras
+    (ref: cpp:714-754 votes with <=20 triangulated inliers)."""
+    votes, _ = _front_votes(Rs, ts, xi, xj, inlier_mask, max_votes)
     best = jnp.argmax(votes)
     return Rs[best], ts[best], votes[best]
 
@@ -163,7 +224,7 @@ def find_E_ransac(
     min_inliers: int = 60,
     max_votes: int = 32,
     refine: bool = True,
-    lo_starts: int = 8,
+    lo_starts: int = 16,
 ):
     """Batched-hypothesis LO-RANSAC for the essential matrix.
 
@@ -203,43 +264,76 @@ def find_E_ransac(
 
     if refine:
         K = lo_starts
-        _, topk = jax.lax.top_k(counts, K)
-        Ek = E[topk]  # (K,3,3)
-        mask_k = inl[topk]  # (K,N)
-        xb = jnp.broadcast_to(xi, (K, N, 2))
-        yb = jnp.broadcast_to(xj, (K, N, 2))
-        for _ in range(4):
-            err_k, den_k = sampson_error(Ek, xi[None], xj[None], return_den=True)
-            r = jnp.sqrt(jnp.maximum(err_k, 1e-18))
-            med = jnp.nanmedian(jnp.where(mask_k, r, jnp.nan), axis=-1, keepdims=True)
-            med = jnp.nan_to_num(med, nan=thr)
-            # MAD-style gate: residuals far above the per-candidate noise
-            # floor are high-leverage pseudo-inliers — cut them entirely
-            tight = mask_k & (r < 3.0 * med + 1e-15)
-            w = tight.astype(dtype) / jnp.sqrt(jnp.maximum(den_k, 1e-12))
-            Ek = eight_point_E(xb, yb, weights=w)
-            mask_k = (sampson_error(Ek, xi[None], xj[None]) < thr) & valid[None]
+        # diverse multi-start: half the slots take the best hypotheses by
+        # count, half stride across the whole ranking — count-optimal
+        # hypotheses often cluster in one (possibly wrong) basin of the
+        # robust cost, and basin diversity is what lets the polished pool
+        # reach the global optimum
+        order = jnp.argsort(-counts)
+        k_top = K // 2
+        stride = max(H // max(K - k_top, 1), 1)
+        pick = jnp.concatenate(
+            [order[:k_top], order[::stride][: K - k_top]]
+        )
+        Ek = E[pick]  # (K,3,3)
+        mask_k = inl[pick]  # (K,N)
+        # per-candidate cheirality vote picks the physical (R,t) branch
+        Rk, tk, votes_k = jax.vmap(
+            lambda Ei, mi: _cheirality_vote(*decompose_E(Ei), xi, xj, mi, max_votes)
+        )(Ek, mask_k)
+        # multi-start manifold GN polish (batched over candidates)
+        Rk, tk = jax.vmap(
+            lambda R0, t0: _polish_rt(R0, t0, xi, xj, valid, thr)
+        )(Rk, tk)
+        Ek = jnp.matmul(lie.hat(tk), Rk)
         err_k = sampson_error(Ek, xi[None], xj[None])
+        mask_k = (err_k < thr) & valid[None]
+        # truncated (MSAC) cost discriminates converged local minima where
+        # raw inlier counts cannot
         cost = jnp.sum(jnp.where(valid[None], jnp.minimum(err_k, thr), 0.0), axis=-1)
-        best_k = jnp.argmin(cost)
+        # cheirality gate AFTER polish: the degenerate (rotation-absorbed)
+        # basin triangulates a large fraction of inliers behind a camera,
+        # while the physical basin is ~100% in front — a decisive filter
+        # the truncated cost alone does not provide
+        vote_cap = 4 * max_votes
+        votes_p, n_avail = jax.vmap(
+            lambda R_, t_, m_: _front_votes(
+                R_[None], t_[None], xi, xj, m_, vote_cap
+            )
+        )(Rk, tk, mask_k)
+        votes_p = votes_p[:, 0]
+        passes = votes_p.astype(dtype) >= 0.9 * n_avail.astype(dtype)
+        gated = jnp.where(passes, cost, jnp.inf)
+        any_pass = jnp.any(passes)
+        best_k = jnp.where(any_pass, jnp.argmin(gated), jnp.argmax(votes_p))
+        R, t = Rk[best_k], tk[best_k]
         E_best = Ek[best_k]
         mask = mask_k[best_k]
         count = jnp.sum(mask)
-        # guard: if local optimization somehow lost the consensus, fall
+        votes = votes_p[best_k]
+        # guard: if local optimization lost the consensus entirely, fall
         # back to the raw count-best hypothesis
         raw_best = jnp.argmax(counts)
         fell_apart = count < jnp.maximum(counts[raw_best] // 2, 8)
-        E_best = jnp.where(fell_apart, E[raw_best], E_best)
+        E_fb = E[raw_best]
+        R_fb, t_fb, votes_fb = _cheirality_vote(
+            *decompose_E(E_fb), xi, xj, inl[raw_best], max_votes
+        )
+        R = jnp.where(fell_apart, R_fb, R)
+        t = jnp.where(fell_apart, t_fb, t)
+        E_best = jnp.where(fell_apart, E_fb, E_best)
         mask = jnp.where(fell_apart, inl[raw_best], mask)
+        votes = jnp.where(fell_apart, votes_fb, votes)
         count = jnp.sum(mask)
     else:
         best = jnp.argmax(counts)
         E_best = E[best]
         mask = inl[best]
         count = counts[best]
+        R, t, votes = _cheirality_vote(
+            *decompose_E(E_best), xi, xj, mask, max_votes
+        )
 
-    Rs, ts = decompose_E(E_best)
-    R, t, votes = _cheirality_vote(Rs, ts, xi, xj, mask, max_votes)
     ok = (count >= min_inliers) & (votes > 0)
     return RelPose(R=R, t=t, E=E_best, inlier_mask=mask,
                    num_inliers=count.astype(jnp.int32), ok=ok)

@@ -37,7 +37,7 @@ def shi_tomasi_score(img, block_radius: int = 2):
     return 0.5 * (tr - disc)
 
 
-@partial(jax.jit, static_argnames=("max_new", "cell", "border"))
+@partial(jax.jit, static_argnames=("max_new", "cell", "border", "block_radius"))
 def detect_corners(img, exclude_xy, exclude_valid, max_new: int, cell: int,
                    quality: float = 0.01, border: int = 8, block_radius: int = 2):
     """Top-``max_new`` corners outside occupied grid cells.
