@@ -21,7 +21,7 @@ import numpy as np
 from sfm_tpu.config import SystemConfig, TranslationMode
 from sfm_tpu.models import mapstate, tracker
 from sfm_tpu.models.mapstate import Edge, Keyframe, MapState
-from sfm_tpu.ops import epipolar, image as im, lie, triangulate
+from sfm_tpu.ops import ba as ba_ops, epipolar, image as im, lie, triangulate
 
 log = logging.getLogger("sfm_tpu")
 
@@ -224,8 +224,14 @@ class SfMSystem:
             prev = self.kfs[-1]
             edge = self._estimate_edge(prev, ids, uv, valid, frame_idx)
             self.edges.append(edge)
+            # monocular scale propagation: the edge direction comes from
+            # the essential matrix (unit norm); its length is re-estimated
+            # from already-triangulated map points visible in this frame
+            # so the trajectory stays at one consistent scale across
+            # sliding BA windows
+            s_map = self._propagate_scale(prev, ids, uv, valid, edge)
             R_ij = edge.R_ji.T
-            t_ij = -edge.R_ji.T @ edge.t_ji
+            t_ij = -edge.R_ji.T @ (edge.t_ji * s_map)
             self.pose_t = prev.R_cw @ t_ij + prev.t_cw
             self.pose_R = prev.R_cw @ R_ij
 
@@ -243,32 +249,65 @@ class SfMSystem:
         self.last_kf_frame = frame_idx
         self._update_map(kf)
 
+        if self.cfg.ba.iters > 0 and kf_id > 0:
+            self._run_local_ba()
+
         for hook in self.on_keyframe:
             hook(self, kf)
 
     def _estimate_edge(self, kf_i: Keyframe, ids, uv, valid, frame_idx: int) -> Edge:
         """Sequential edge re-estimated from slot-aligned shared tracks
-        (ref cpp:1782-1798)."""
+        (ref cpp:1782-1798), cross-checked against the per-frame composed
+        chain: an edge that disagrees with the chain by more than a few
+        degrees is re-estimated once with a fresh RANSAC draw and the
+        candidate closest to the chain wins (both are samples of the same
+        estimator; the chain acts as a cheap referee against rare
+        wrong-basin convergences)."""
         shared = kf_i.valid & valid & (kf_i.ids == ids)
-        rp, _ = _two_view_stage(
-            self._next_key(),
-            self._Kj,
-            jnp.asarray(kf_i.uv, jnp.float32),
-            jnp.asarray(uv, jnp.float32),
-            jnp.asarray(shared),
-            num_hypotheses=self.cfg.ransac.num_hypotheses,
-            sampson_thresh=self.cfg.ransac.sampson_thresh,
-            min_inliers=self.cfg.ransac.min_inliers,
-        )
+
+        def run_once():
+            return _two_view_stage(
+                self._next_key(),
+                self._Kj,
+                jnp.asarray(kf_i.uv, jnp.float32),
+                jnp.asarray(uv, jnp.float32),
+                jnp.asarray(shared),
+                num_hypotheses=self.cfg.ransac.num_hypotheses,
+                sampson_thresh=self.cfg.ransac.sampson_thresh,
+                min_inliers=self.cfg.ransac.min_inliers,
+            )[0]
+
+        # chain relative pose (world→cam_j from the running per-frame pose)
+        Rwj = self.pose_R.T
+        R_chain = Rwj @ kf_i.R_cw
+        t_chain = Rwj @ (kf_i.t_cw - self.pose_t)
+
+        def disagreement(rp):
+            dR = np.asarray(rp.R, np.float64).T @ R_chain
+            ang = np.linalg.norm(np.asarray(lie.so3_log(jnp.asarray(dR))))
+            da = np.rad2deg(ang)
+            tc = t_chain / max(np.linalg.norm(t_chain), 1e-12)
+            dt = np.rad2deg(
+                np.arccos(
+                    np.clip(abs(float(np.asarray(rp.t, np.float64) @ tc)), 0, 1)
+                )
+            )
+            return max(da, dt)
+
+        rp = run_once()
+        if bool(rp.ok) and disagreement(rp) > 5.0:
+            rp2 = run_once()
+            if bool(rp2.ok) and disagreement(rp2) < disagreement(rp):
+                rp = rp2
+
         kf_j_id = len(self.kfs)
         if bool(rp.ok):
             R_ji = np.asarray(rp.R, np.float64)
             t_ji = np.asarray(rp.t, np.float64)
         else:
             # fall back to the per-frame composed relative pose
-            Rwj = self.pose_R.T
-            R_ji = Rwj @ kf_i.R_cw
-            t_ji = Rwj @ (kf_i.t_cw - self.pose_t)
+            R_ji = R_chain
+            t_ji = t_chain
         scale = self._edge_scale(kf_i.frame_idx, frame_idx)
         if self.cfg.translation_mode != TranslationMode.FULL:
             n = np.linalg.norm(t_ji)
@@ -276,6 +315,43 @@ class SfMSystem:
                 t_ji = t_ji / n * scale
         return Edge(i=kf_i.kf_id, j=kf_j_id, R_ji=R_ji, t_ji=t_ji,
                     inliers=int(rp.num_inliers), is_loop=False)
+
+    def _propagate_scale(self, prev: Keyframe, ids, uv, valid, edge: Edge) -> float:
+        """Estimate the translation scale of a new edge from map points
+        visible in the new frame (1-dof robust least squares).
+
+        With x_j the normalized obs of map point X in the new camera and
+        Xc_i = R_wc,i X + t_wc,i its coords in the previous camera:
+        (R_ji Xc_i).xy + s·t.xy = x_j((R_ji Xc_i).z + s·t.z) — two linear
+        equations in s per point; take the median of per-point solutions.
+        """
+        if self.cfg.use_gt_scale:
+            return 1.0  # edge.t_ji already carries the GT baseline length
+        Rwi, twi = prev.pose_wc
+        t_u = edge.t_ji / max(np.linalg.norm(edge.t_ji), 1e-12)
+        slots = np.nonzero(valid)[0]
+        sols = []
+        fx, fy = self.K[0, 0], self.K[1, 1]
+        cx, cy = self.K[0, 2], self.K[1, 2]
+        for slot in slots:
+            pid = self.map.tid2pid.get(int(ids[slot]))
+            if pid is None:
+                continue
+            X = self.map.points[pid]
+            Xi = Rwi @ X + twi
+            if Xi[2] <= 1e-6:
+                continue
+            w = edge.R_ji @ Xi
+            xj = np.array([(uv[slot, 0] - cx) / fx, (uv[slot, 1] - cy) / fy])
+            a = t_u[:2] - xj * t_u[2]
+            b = xj * w[2] - w[:2]
+            den = float(a @ a)
+            if den > 1e-10:
+                sols.append(float(a @ b) / den)
+        if len(sols) < 5:
+            return 1.0
+        s = float(np.median(sols))
+        return s if s > 1e-6 else 1.0
 
     @staticmethod
     def _relative_from_poses(kf_i: Keyframe, kf_j: Keyframe):
@@ -340,6 +416,99 @@ class SfMSystem:
             fkf_id, fuv = self.first_obs[tid]
             self.map.add_obs(fkf_id, pid, fuv)
             self.map.add_obs(kf.kf_id, pid, kf.uv[slot])
+
+    # ------------------------------------------------------------------
+    def _run_local_ba(self) -> None:
+        """Sliding-window Schur-complement LM BA (ref py:1003-1020 /
+        cpp:1820). Selects window points, solves on device, writes back
+        poses + points, and re-anchors the running pose."""
+        cfg = self.cfg.ba
+        F = min(cfg.window, len(self.kfs))
+        if F < 2:
+            return
+        win = self.kfs[-F:]
+        win_ids = {kf.kf_id: k for k, kf in enumerate(win)}
+
+        obs_kf, obs_pid, obs_uv = self.map.obs_arrays()
+        if len(obs_kf) == 0:
+            return
+        in_win = np.isin(obs_kf, list(win_ids))
+        pids_w, counts = np.unique(obs_pid[in_win], return_counts=True)
+        pids_w = pids_w[counts >= 2]
+        counts = counts[counts >= 2]
+        if len(pids_w) == 0:
+            return
+        # cap to max_points, keeping the best-observed (ref py:733-739
+        # caps at max_points; cpp:881 caps at 600)
+        if len(pids_w) > cfg.max_points:
+            keep = np.argsort(-counts)[: cfg.max_points]
+            pids_w = pids_w[keep]
+        P = int(cfg.max_points)
+        pid_local = -np.ones(self.map.num_points, np.int64)
+        pid_local[pids_w] = np.arange(len(pids_w))
+
+        sel = in_win & (pid_local[obs_pid] >= 0)
+        m = int(sel.sum())
+        if m < 12:
+            return
+        M = _next_pow2(m, lo=256)
+        cam_idx = np.zeros(M, np.int32)
+        pidx = np.zeros(M, np.int32)
+        obs_n = np.zeros((M, 2))
+        ovalid = np.zeros(M, bool)
+        kf_map = np.zeros(max(k.kf_id for k in win) + 1, np.int32)
+        for kfid, k in win_ids.items():
+            kf_map[kfid] = k
+        cam_idx[:m] = kf_map[obs_kf[sel]]
+        pidx[:m] = pid_local[obs_pid[sel]]
+        xo = epipolar.normalize_by_K(jnp.asarray(self.K), jnp.asarray(obs_uv[sel]))
+        obs_n[:m] = np.asarray(xo)
+        ovalid[:m] = True
+
+        X = np.zeros((P, 3))
+        pvalid = np.zeros(P, bool)
+        X[: len(pids_w)] = self.map.xyz()[pids_w]
+        pvalid[: len(pids_w)] = True
+
+        R_wc = np.stack([kf.pose_wc[0] for kf in win])
+        t_wc = np.stack([kf.pose_wc[1] for kf in win])
+        prob = ba_ops.BAProblem(
+            R_wc=jnp.asarray(R_wc),
+            t_wc=jnp.asarray(t_wc),
+            X=jnp.asarray(X),
+            cam_idx=jnp.asarray(cam_idx),
+            pid_idx=jnp.asarray(pidx),
+            obs=jnp.asarray(obs_n),
+            obs_valid=jnp.asarray(ovalid),
+            point_valid=jnp.asarray(pvalid),
+        )
+        fx = float(self.K[0, 0])
+        R_new, t_new, X_new, info = ba_ops.bundle_adjust(
+            prob,
+            iters=cfg.iters,
+            lambda0=cfg.lambda0,
+            huber_delta=cfg.huber_delta / fx,
+            n_fix=1,
+            update_points=cfg.update_points,
+        )
+        R_new = np.asarray(R_new, np.float64)
+        t_new = np.asarray(t_new, np.float64)
+        for k, kf in enumerate(win):
+            # world->cam back to cam->world
+            kf.R_cw = R_new[k].T
+            kf.t_cw = -R_new[k].T @ t_new[k]
+        if cfg.update_points:
+            X_new = np.asarray(X_new, np.float64)
+            xyz = self.map.xyz()
+            xyz[pids_w] = X_new[: len(pids_w)]
+            self.map.set_xyz(xyz)
+        # re-anchor the running pose on the refined last keyframe
+        # (ref py:1016-1020)
+        self.pose_R = self.kfs[-1].R_cw.copy()
+        self.pose_t = self.kfs[-1].t_cw.copy()
+        if self.metrics:
+            self.metrics[-1]["ba_cost0"] = float(info["cost0"])
+            self.metrics[-1]["ba_cost"] = float(info["cost"])
 
     # ------------------------------------------------------------------
     # artifact export (ref py:1546-1588 / cpp:1873-1906)

@@ -1,0 +1,155 @@
+"""Bundle adjustment tests: synthetic convergence + e2e structure quality
+(SURVEY §4 test plan: 'BA convergence on a synthetic two-view problem')."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sfm_tpu.ops import ba, lie, umeyama
+
+
+def make_ba_problem(rng, F=4, P=120, noise=1e-4, perturb_pose=0.02,
+                    perturb_pts=0.02):
+    """Cameras on an arc looking at a blob of points; GT + perturbed init."""
+    X_gt = rng.standard_normal((P, 3)) * np.array([0.4, 0.4, 0.25]) + np.array(
+        [0, 0, 4.0]
+    )
+    R_gt, t_gt = [], []
+    for f in range(F):
+        ang = 0.15 * (f - F / 2)
+        w = np.array([0.0, ang, 0.0])
+        R = np.asarray(lie.so3_exp(jnp.asarray(w)))
+        C = np.array([4.0 * np.sin(ang), 0.2 * f, 4.0 - 4.0 * np.cos(ang)])
+        R_gt.append(R)
+        t_gt.append(-R @ C)
+    R_gt = np.stack(R_gt)
+    t_gt = np.stack(t_gt)
+
+    cam_idx, pid_idx, obs = [], [], []
+    for f in range(F):
+        Xc = X_gt @ R_gt[f].T + t_gt[f]
+        proj = Xc[:, :2] / Xc[:, 2:3]
+        for pp in range(P):
+            cam_idx.append(f)
+            pid_idx.append(pp)
+            obs.append(proj[pp] + rng.standard_normal(2) * noise)
+    M = len(obs)
+    # perturb all but the first (gauge) pose
+    R0, t0 = [R_gt[0]], [t_gt[0]]
+    for f in range(1, F):
+        dw = rng.standard_normal(3) * perturb_pose
+        R0.append(np.asarray(lie.so3_exp(jnp.asarray(dw))) @ R_gt[f])
+        t0.append(t_gt[f] + rng.standard_normal(3) * perturb_pose)
+    X0 = X_gt + rng.standard_normal((P, 3)) * perturb_pts
+    prob = ba.BAProblem(
+        R_wc=jnp.asarray(np.stack(R0)),
+        t_wc=jnp.asarray(np.stack(t0)),
+        X=jnp.asarray(X0),
+        cam_idx=jnp.asarray(cam_idx, jnp.int32),
+        pid_idx=jnp.asarray(pid_idx, jnp.int32),
+        obs=jnp.asarray(np.stack(obs)),
+        obs_valid=jnp.ones(M, bool),
+        point_valid=jnp.ones(P, bool),
+    )
+    return prob, R_gt, t_gt, X_gt
+
+
+def test_ba_reduces_cost(rng):
+    prob, *_ = make_ba_problem(rng)
+    R, t, X, info = ba.bundle_adjust(prob, iters=8, huber_delta=1e-2)
+    assert float(info["cost"]) < 0.1 * float(info["cost0"])
+
+
+def test_ba_recovers_poses(rng):
+    prob, R_gt, t_gt, X_gt = make_ba_problem(rng, noise=0.0)
+    R, t, X, info = ba.bundle_adjust(prob, iters=10, huber_delta=1e-2)
+    # gauge is fixed by pose 0; with zero noise poses must recover exactly
+    for f in range(len(R_gt)):
+        dR = np.asarray(R[f]) @ R_gt[f].T
+        ang = np.rad2deg(np.linalg.norm(np.asarray(lie.so3_log(jnp.asarray(dR)))))
+        assert ang < 0.02, (f, ang)
+        assert np.linalg.norm(np.asarray(t[f]) - t_gt[f]) < 2e-3, f
+    np.testing.assert_allclose(np.asarray(X), X_gt, atol=5e-3)
+
+
+def test_ba_handles_outlier_obs(rng):
+    prob, R_gt, t_gt, X_gt = make_ba_problem(rng, noise=1e-4)
+    # corrupt 5% of observations hugely
+    obs = np.asarray(prob.obs).copy()
+    n_bad = len(obs) // 20
+    obs[:n_bad] += rng.uniform(0.05, 0.2, (n_bad, 2))
+    prob = prob._replace(obs=jnp.asarray(obs))
+    R, t, X, info = ba.bundle_adjust(prob, iters=10, huber_delta=3e-3)
+    for f in range(len(R_gt)):
+        dR = np.asarray(R[f]) @ R_gt[f].T
+        ang = np.rad2deg(np.linalg.norm(np.asarray(lie.so3_log(jnp.asarray(dR)))))
+        assert ang < 0.2, (f, ang)
+
+
+def test_ba_respects_masks(rng):
+    """Padded invalid observations/points must not move anything."""
+    prob, *_ = make_ba_problem(rng, F=3, P=40, noise=1e-4)
+    M = prob.obs.shape[0]
+    pad_m, pad_p = 64, 16
+    prob2 = ba.BAProblem(
+        R_wc=prob.R_wc,
+        t_wc=prob.t_wc,
+        X=jnp.concatenate([prob.X, jnp.full((pad_p, 3), 1e6)]),
+        cam_idx=jnp.concatenate([prob.cam_idx, jnp.zeros(pad_m, jnp.int32)]),
+        pid_idx=jnp.concatenate(
+            [prob.pid_idx, jnp.full(pad_m, 40 + pad_p - 1, jnp.int32)]
+        ),
+        obs=jnp.concatenate([prob.obs, jnp.full((pad_m, 2), 77.0)]),
+        obs_valid=jnp.concatenate([prob.obs_valid, jnp.zeros(pad_m, bool)]),
+        point_valid=jnp.concatenate([prob.point_valid, jnp.zeros(pad_p, bool)]),
+    )
+    R1, t1, X1, i1 = ba.bundle_adjust(prob, iters=5, huber_delta=1e-2)
+    R2, t2, X2, i2 = ba.bundle_adjust(prob2, iters=5, huber_delta=1e-2)
+    np.testing.assert_allclose(np.asarray(R1), np.asarray(R2), atol=1e-10)
+    np.testing.assert_allclose(np.asarray(t1), np.asarray(t2), atol=1e-10)
+    np.testing.assert_allclose(np.asarray(X1), np.asarray(X2)[:40], atol=1e-10)
+
+
+def test_e2e_with_ba_structure(tmp_path_factory, rng):
+    """BASELINE config 2: 8-frame sequence + sliding-window BA. The strict
+    structure check deferred from test_system.py."""
+    from sfm_tpu.utils.synthetic import SyntheticRingSpec, generate_dataset
+    from sfm_tpu.utils.dataset import TempleRing
+    from sfm_tpu.config import (KLTConfig, KeyframeConfig, RansacConfig,
+                                SystemConfig, BAConfig)
+    from sfm_tpu.models.system import SfMSystem
+
+    out = tmp_path_factory.mktemp("ring_ba")
+    spec = SyntheticRingSpec(n_frames=8, width=480, height=360, fx=1100.0,
+                             fy=1100.0, arc_deg=40.0)
+    generate_dataset(out, spec)
+    ds = TempleRing.from_dir(out)
+    cfg = SystemConfig(
+        frames=8,
+        klt=KLTConfig(max_tracks=512, min_tracks=300, min_distance=8,
+                      pyr_levels=3, win_radius=5, iters=10),
+        ransac=RansacConfig(num_hypotheses=256, sampson_thresh=2e-5, min_inliers=40),
+        keyframe=KeyframeConfig(min_inliers=150, min_gap=1, parallax_px=6.0),
+        ba=BAConfig(window=6, iters=5, max_points=512, huber_delta=3.0),
+    )
+    sys_ = SfMSystem(ds.K, cfg, gt_records=ds.records)
+    for i in range(len(ds)):
+        sys_.process(i, ds.records[i].img, ds.load_gray(i))
+
+    est = np.stack([kf.center for kf in sys_.kfs])
+    gt = np.stack([ds.records[kf.frame_idx].center for kf in sys_.kfs])
+    res = umeyama.ate(jnp.asarray(est), jnp.asarray(gt), with_scale=True)
+    extent = np.linalg.norm(gt - gt.mean(0), axis=1).max()
+    assert float(res["rmse"]) < 0.04 * extent
+
+    s, R, t = umeyama.umeyama(jnp.asarray(est), jnp.asarray(gt), with_scale=True)
+    X = sys_.map.xyz()
+    Xa = float(s) * X @ np.asarray(R).T + np.asarray(t)
+    r = np.linalg.norm(Xa[:, :2], axis=1)
+    # structure on the synthetic cylinder (r=0.10): the residual spread is
+    # dominated by LK appearance drift under object rotation (same physics
+    # as the reference's OpenCV LK), so the gate is calibrated to measured
+    # front-end quality, with BA required to keep the median unbiased
+    frac = np.mean(np.abs(r - 0.10) < 0.03)
+    assert frac > 0.55, frac
+    assert abs(np.median(r) - 0.10) < 0.015, np.median(r)
