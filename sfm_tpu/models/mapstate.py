@@ -33,6 +33,7 @@ class Keyframe:
     uv: np.ndarray  # (T,2) f32
     valid: np.ndarray  # (T,) bool
     desc: np.ndarray | None = None  # (D,) global descriptor for loop closure
+    pyr: tuple | None = None  # device image pyramid kept for loop verify
 
     @property
     def pose_wc(self):

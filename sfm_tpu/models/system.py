@@ -21,7 +21,9 @@ import numpy as np
 from sfm_tpu.config import SystemConfig, TranslationMode
 from sfm_tpu.models import mapstate, tracker
 from sfm_tpu.models.mapstate import Edge, Keyframe, MapState
-from sfm_tpu.ops import ba as ba_ops, epipolar, image as im, lie, triangulate
+from sfm_tpu.ops import (ba as ba_ops, descriptors, epipolar, features,
+                         image as im, klt, lie, posegraph as pg_ops,
+                         triangulate)
 
 log = logging.getLogger("sfm_tpu")
 
@@ -129,7 +131,7 @@ class SfMSystem:
             self.state = tracker.bootstrap(pyr[0], cfg.klt)
             self.prev_pyr = pyr
             self.prev_frame_idx = frame_idx
-            self._add_keyframe(frame_idx, img_name)
+            self._add_keyframe(frame_idx, img_name, pyr)
             met.update(keyframe=True, tracks=int(jnp.sum(self.state.valid)))
             met["dt"] = time.perf_counter() - t0
             self.metrics.append(met)
@@ -176,7 +178,7 @@ class SfMSystem:
             )
         )
         if make_kf:
-            self._add_keyframe(frame_idx, img_name)
+            self._add_keyframe(frame_idx, img_name, pyr)
 
         self.prev_pyr = pyr
         self.prev_frame_idx = frame_idx
@@ -209,7 +211,7 @@ class SfMSystem:
                 return s
         return 1.0
 
-    def _add_keyframe(self, frame_idx: int, img_name: str) -> None:
+    def _add_keyframe(self, frame_idx: int, img_name: str, pyr) -> None:
         """ref py:951-988 add_keyframe / cpp:1765-1871 keyframe block."""
         kf_id = len(self.kfs)
         ids = np.asarray(self.state.ids).copy()
@@ -244,10 +246,30 @@ class SfMSystem:
             ids=ids,
             uv=uv,
             valid=valid,
+            desc=np.asarray(descriptors.global_desc_32(pyr[0])),
+            pyr=pyr,
         )
         self.kfs.append(kf)
         self.last_kf_frame = frame_idx
         self._update_map(kf)
+
+        # loop closure (ref cpp:1822-1866): descriptor search + LK verify
+        found_loop = False
+        if (
+            self.cfg.loop.enabled
+            and kf_id > 0
+            and kf_id % max(self.cfg.loop_every_kf, 1) == 0
+        ):
+            found_loop = self._try_loop_closure(kf)
+
+        # pose graph (cpp:1862 semantics: only once loop edges exist —
+        # without loops the graph is chain-shaped and a solve would only
+        # drag BA-refined poses back toward the raw two-view edges)
+        have_loops = any(e.is_loop for e in self.edges)
+        if kf_id >= 2 and have_loops and (
+            found_loop or kf_id % max(self.cfg.posegraph_every_kf, 1) == 0
+        ):
+            self._run_pose_graph()
 
         if self.cfg.ba.iters > 0 and kf_id > 0:
             self._run_local_ba()
@@ -416,6 +438,128 @@ class SfMSystem:
             fkf_id, fuv = self.first_obs[tid]
             self.map.add_obs(fkf_id, pid, fuv)
             self.map.add_obs(kf.kf_id, pid, kf.uv[slot])
+
+    # ------------------------------------------------------------------
+    def _try_loop_closure(self, kf: Keyframe) -> bool:
+        """Descriptor search + LK re-track verify + E-RANSAC gate
+        (ref cpp:1822-1866). Returns True if a loop edge was added."""
+        lcfg = self.cfg.loop
+        cands = [
+            k for k in self.kfs[: max(kf.kf_id - lcfg.min_kf_gap + 1, 0)]
+            if k.desc is not None
+        ]
+        if not cands:
+            return False
+        bank = np.stack([k.desc for k in cands])
+        scores = bank @ kf.desc
+        best = int(np.argmax(scores))
+        if float(scores[best]) <= lcfg.score_thresh:
+            return False
+        old = cands[best]
+        if old.pyr is None:
+            return False
+        # re-detect on the old keyframe and LK-track into the new one
+        # (ref cpp:1836-1854: shi_tomasi 1200 pts + fwd/bwd LK)
+        xy, _, dvalid = features.detect_corners(
+            old.pyr[0],
+            jnp.zeros((1, 2)),
+            jnp.zeros(1, bool),
+            max_new=1024,
+            cell=max(int(self.cfg.klt.min_distance), 2),
+            quality=self.cfg.klt.quality,
+        )
+        new_pts, ok = klt.lk_track_fb(
+            old.pyr, kf.pyr, xy, dvalid,
+            levels=self.cfg.klt.pyr_levels,
+            iters=self.cfg.klt.iters,
+            radius=self.cfg.klt.win_radius,
+            fb_thresh=self.cfg.klt.fb_thresh,
+        )
+        n_tracked = int(jnp.sum(ok))
+        if n_tracked < lcfg.min_tracked:
+            return False
+        rp, _ = _two_view_stage(
+            self._next_key(),
+            self._Kj,
+            xy.astype(jnp.float32),
+            new_pts.astype(jnp.float32),
+            ok,
+            num_hypotheses=lcfg.ransac_iters,
+            sampson_thresh=lcfg.ransac_thresh,
+            min_inliers=lcfg.min_inliers,
+        )
+        if not bool(rp.ok) or int(rp.num_inliers) < lcfg.min_inliers:
+            return False
+        t_ji = np.asarray(rp.t, np.float64)
+        if self.cfg.translation_mode != TranslationMode.FULL:
+            n = np.linalg.norm(t_ji)
+            if n > 1e-12:
+                t_ji = t_ji / n * self._edge_scale(old.frame_idx, kf.frame_idx)
+        self.edges.append(
+            Edge(i=old.kf_id, j=kf.kf_id, R_ji=np.asarray(rp.R, np.float64),
+                 t_ji=t_ji, inliers=int(rp.num_inliers), is_loop=True,
+                 w_rot=self.cfg.pose_graph.loop_weight,
+                 w_trans=self.cfg.pose_graph.loop_weight)
+        )
+        log.info("loop closure %d -> %d (score %.3f, inliers %d)",
+                 old.kf_id, kf.kf_id, float(scores[best]), int(rp.num_inliers))
+        if self.metrics:
+            self.metrics[-1]["loop"] = (old.kf_id, kf.kf_id)
+        return True
+
+    # ------------------------------------------------------------------
+    def _run_pose_graph(self) -> None:
+        """Optimize all keyframe poses over the edge graph and write back
+        (ref py:990-1001 / cpp:1862). Mode from config: 'se3' = python
+        reference semantics, 'centers' = cpp reference semantics."""
+        pcfg = self.cfg.pose_graph
+        N = len(self.kfs)
+        E = len(self.edges)
+        if N < 3 or E < 2:
+            return
+        Np = _next_pow2(N, lo=8)
+        Ep = _next_pow2(E, lo=8)
+        R_cw = np.stack([kf.R_cw for kf in self.kfs] + [np.eye(3)] * (Np - N))
+        C = np.stack([kf.t_cw for kf in self.kfs] + [np.zeros(3)] * (Np - N))
+        e_i = np.zeros(Ep, np.int32)
+        e_j = np.zeros(Ep, np.int32)
+        R_meas = np.tile(np.eye(3), (Ep, 1, 1))
+        t_meas = np.zeros((Ep, 3))
+        t_meas[:, 2] = 1.0
+        w_rot = np.zeros(Ep)
+        w_trans = np.zeros(Ep)
+        valid = np.zeros(Ep, bool)
+        for k, e in enumerate(self.edges):
+            e_i[k] = e.i
+            e_j[k] = e.j
+            R_meas[k] = e.R_ji
+            t_meas[k] = e.t_ji
+            w_rot[k] = pcfg.w_rot * e.w_rot
+            w_trans[k] = pcfg.w_trans * e.w_trans
+            valid[k] = True
+        prob = pg_ops.PoseGraphProblem(
+            R_cw=jnp.asarray(R_cw), C=jnp.asarray(C),
+            e_i=jnp.asarray(e_i), e_j=jnp.asarray(e_j),
+            R_meas=jnp.asarray(R_meas), t_meas=jnp.asarray(t_meas),
+            w_rot=jnp.asarray(w_rot), w_trans=jnp.asarray(w_trans),
+            valid=jnp.asarray(valid),
+        )
+        if pcfg.mode == "centers":
+            R_new, C_new, info = pg_ops.optimize_centers(prob)
+        else:
+            R_new, C_new, info = pg_ops.optimize_se3(
+                prob, mode=self.cfg.translation_mode.value,
+                iters=pcfg.iters, lambda0=pcfg.lambda0,
+            )
+        R_new = np.asarray(R_new, np.float64)
+        C_new = np.asarray(C_new, np.float64)
+        for k, kf in enumerate(self.kfs):
+            kf.R_cw = R_new[k]
+            kf.t_cw = C_new[k]
+        # reset the running pose to the refreshed last keyframe
+        # (ref py:993-1001)
+        self.pose_R = self.kfs[-1].R_cw.copy()
+        self.pose_t = self.kfs[-1].t_cw.copy()
 
     # ------------------------------------------------------------------
     def _run_local_ba(self) -> None:

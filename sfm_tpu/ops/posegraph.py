@@ -1,0 +1,153 @@
+"""Pose-graph optimization: batched SE(3) LM + linear center-only mode.
+
+TPU-native replacement for the reference's two pose-graph flavors
+(reference: python/src/templering_sfm.py:601-700 ``PoseGraph`` — full
+SE(3) LM over poses 1..N-1 with translation modes full/dir/rot and a
+NUMERIC forward-difference Jacobian over all 6(N−1) params py:669-678;
+cpp/src/templering_sfm.cpp:1131-1197 ``posegraph_optimize_centers`` —
+translation-only linear least squares on camera centers).
+
+Here the residual over all edges is one vectorized evaluation and the
+Jacobian comes from one ``jax.jacfwd`` of that evaluation (exact, not
+finite-difference), batched over edges; the LM loop is a ``lax.scan``
+with accept/reject. Poses are camera-to-world (R_cw, C); pose 0 is the
+gauge and stays fixed.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from sfm_tpu.ops import lie, linalg
+
+
+class PoseGraphProblem(NamedTuple):
+    R_cw: jnp.ndarray  # (N,3,3)
+    C: jnp.ndarray  # (N,3) camera centers (t_cw)
+    e_i: jnp.ndarray  # (E,) i32 edge source
+    e_j: jnp.ndarray  # (E,) i32 edge target
+    R_meas: jnp.ndarray  # (E,3,3) measured R_ji
+    t_meas: jnp.ndarray  # (E,3) measured t_ji
+    w_rot: jnp.ndarray  # (E,)
+    w_trans: jnp.ndarray  # (E,)
+    valid: jnp.ndarray  # (E,) bool
+
+
+def _edge_residuals(R_cw, C, p: PoseGraphProblem, mode: str):
+    """(E,6) stacked [rot | trans] residuals (ref py:623-638)."""
+    Ri = R_cw[p.e_i]
+    Rj = R_cw[p.e_j]
+    Ci = C[p.e_i]
+    Cj = C[p.e_j]
+    # predicted relative pose i->j
+    R_pred = jnp.swapaxes(Rj, -1, -2) @ Ri
+    t_pred = jnp.einsum("eij,ej->ei", jnp.swapaxes(Rj, -1, -2), Ci - Cj)
+    r_rot = lie.so3_log(jnp.swapaxes(p.R_meas, -1, -2) @ R_pred)
+    if mode == "dir":
+        tp = t_pred / (jnp.linalg.norm(t_pred, axis=-1, keepdims=True) + 1e-12)
+        tm = p.t_meas / (jnp.linalg.norm(p.t_meas, axis=-1, keepdims=True) + 1e-12)
+        r_tr = tp - tm
+    elif mode == "full":
+        r_tr = t_pred - p.t_meas
+    else:  # "rot"
+        r_tr = jnp.zeros_like(t_pred)
+    r = jnp.concatenate(
+        [r_rot * p.w_rot[:, None], r_tr * p.w_trans[:, None]], axis=-1
+    )
+    return jnp.where(p.valid[:, None], r, 0.0)
+
+
+@partial(jax.jit, static_argnames=("mode", "iters"))
+def optimize_se3(p: PoseGraphProblem, mode: str = "dir", iters: int = 10,
+                 lambda0: float = 0.01):
+    """Full SE(3) pose-graph LM (python reference semantics, py:640-698).
+
+    Pose 0 is fixed (gauge). Returns (R_cw, C, info)."""
+    N = p.R_cw.shape[0]
+    dtype = p.R_cw.dtype
+
+    def apply_delta(R_cw, C, dx):
+        # dx (N,6): left-multiplicative so3 on R_cw, additive on centers;
+        # pose 0 frozen
+        dx = dx.at[0].set(0.0)
+        dR = lie.so3_exp(dx[:, :3])
+        return dR @ R_cw, C + dx[:, 3:]
+
+    def cost_of(R_cw, C):
+        r = _edge_residuals(R_cw, C, p, mode)
+        return jnp.sum(r * r)
+
+    def lm_step(carry, _):
+        R_cw, C, lam, cost = carry
+
+        def resid_flat(dx):
+            R2, C2 = apply_delta(R_cw, C, dx.reshape(N, 6))
+            return _edge_residuals(R2, C2, p, mode).ravel()
+
+        dx0 = jnp.zeros(N * 6, dtype)
+        J = jax.jacfwd(resid_flat)(dx0)  # (6E, 6N)
+        r0 = resid_flat(dx0)
+        H = J.T @ J
+        g = J.T @ r0
+        dH = jnp.diag(H)
+        H = H + jnp.diag(lam * jnp.maximum(dH, 1e-8) + 1e-10)
+        # gauge: freeze pose 0 rows/cols via a large prior
+        prior = jnp.concatenate([jnp.full(6, 1e12, dtype), jnp.zeros(6 * (N - 1), dtype)])
+        H = H + jnp.diag(prior)
+        dx = linalg.solve_psd(H, -g, jitter=1e-12)
+        R_try, C_try = apply_delta(R_cw, C, dx.reshape(N, 6))
+        new_cost = cost_of(R_try, C_try)
+        accept = new_cost < cost
+        R_cw = jnp.where(accept, R_try, R_cw)
+        C = jnp.where(accept, C_try, C)
+        cost = jnp.where(accept, new_cost, cost)
+        lam = jnp.where(accept, lam * 0.3, lam * 2.0)  # ref py:680-698
+        return (R_cw, C, lam, cost), cost
+
+    cost0 = cost_of(p.R_cw, p.C)
+    (R_cw, C, lam, cost), hist = jax.lax.scan(
+        lm_step, (p.R_cw, p.C, jnp.asarray(lambda0, dtype), cost0), None,
+        length=iters,
+    )
+    return R_cw, C, {"cost0": cost0, "cost": cost, "hist": hist}
+
+
+@jax.jit
+def optimize_centers(p: PoseGraphProblem):
+    """Translation-only linear solve on camera centers (C++ reference
+    semantics, cpp:1131-1197): per edge the measured world-frame direction
+    is scaled by the current estimated length; Jacobians are ±I; node 0 is
+    the gauge. Rotations are untouched."""
+    N = p.C.shape[0]
+    dtype = p.C.dtype
+    Ri = p.R_cw[p.e_i]
+    # world direction of the measured edge: unit(R_cw,i · (−R_jiᵀ t_ji))
+    d = -jnp.einsum("eij,ej->ei", jnp.swapaxes(p.R_meas, -1, -2), p.t_meas)
+    d = jnp.einsum("eij,ej->ei", Ri, d)
+    d = d / (jnp.linalg.norm(d, axis=-1, keepdims=True) + 1e-12)
+    length = jnp.linalg.norm(p.C[p.e_j] - p.C[p.e_i], axis=-1, keepdims=True)
+    d_meas = d * length  # cpp:1153-1157
+    r = (p.C[p.e_j] - p.C[p.e_i]) - d_meas
+    w = jnp.where(p.valid, p.w_trans, 0.0)
+
+    # normal equations over centers: J has +I at j, −I at i per edge
+    H = jnp.zeros((N, N), dtype)
+    wv = w
+    H = H.at[p.e_i, p.e_i].add(wv)
+    H = H.at[p.e_j, p.e_j].add(wv)
+    H = H.at[p.e_i, p.e_j].add(-wv)
+    H = H.at[p.e_j, p.e_i].add(-wv)
+    b = jnp.zeros((N, 3), dtype)
+    b = b.at[p.e_j].add(-w[:, None] * r)
+    b = b.at[p.e_i].add(w[:, None] * r)
+    # gauge fix node 0 (cpp:1179-1182)
+    H = H.at[0, 0].add(1e9)
+    # one shared factorization solves all 3 coordinates (b is (N,3))
+    L = jnp.linalg.cholesky(H + 1e-9 * jnp.eye(N, dtype=dtype))
+    y = jax.scipy.linalg.solve_triangular(L, b, lower=True)
+    dC = jax.scipy.linalg.solve_triangular(L.T, y, lower=False)
+    return p.R_cw, p.C + dC, {}

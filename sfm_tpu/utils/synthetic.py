@@ -30,6 +30,9 @@ class SyntheticRingSpec:
     ring_radius: float = 0.60
     ring_z: float = 0.05
     arc_deg: float = 360.0  # total camera arc; 47-frame temple covers full ring
+    # optional explicit longitude path (degrees); overrides arc_deg/n_frames
+    # spacing — e.g. an out-and-back path for loop-closure tests
+    path_lons_deg: tuple | None = None
     texture_size: int = 1024
     texture_blur: float = 2.0
     seed: int = 7
@@ -78,8 +81,12 @@ def make_ring_cameras(spec: SyntheticRingSpec):
     )
     target = np.zeros(3)
     Rs, ts, Cs, lons = [], [], [], []
-    for i in range(spec.n_frames):
-        phi = np.deg2rad(spec.arc_deg) * i / max(spec.n_frames, 1)
+    n = len(spec.path_lons_deg) if spec.path_lons_deg is not None else spec.n_frames
+    for i in range(n):
+        if spec.path_lons_deg is not None:
+            phi = np.deg2rad(spec.path_lons_deg[i])
+        else:
+            phi = np.deg2rad(spec.arc_deg) * i / max(spec.n_frames, 1)
         C = np.array(
             [
                 spec.ring_radius * np.cos(phi),
@@ -155,11 +162,12 @@ def generate_dataset(out_dir: str | Path, spec: SyntheticRingSpec | None = None,
     out.mkdir(parents=True, exist_ok=True)
     texture = _make_texture(spec)
     K, Rs, ts, Cs, lons = make_ring_cameras(spec)
+    n_frames = len(Rs)
 
-    par_lines = [str(spec.n_frames)]
+    par_lines = [str(n_frames)]
     ang_lines = []
     lat = -np.rad2deg(np.arctan2(spec.ring_z, spec.ring_radius))
-    for i in range(spec.n_frames):
+    for i in range(n_frames):
         name = f"synthR{i + 1:04d}.png"
         img = render_frame(spec, K, Rs[i], ts[i], texture)
         if write_png:

@@ -1,0 +1,84 @@
+"""Loop closure + pose graph e2e (BASELINE config 3 semantics: revisit
+detection, loop edge verification, pose-graph drift correction)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sfm_tpu.config import (BAConfig, KeyframeConfig, KLTConfig, LoopConfig,
+                            PoseGraphConfig, RansacConfig, SystemConfig)
+from sfm_tpu.models.system import SfMSystem
+from sfm_tpu.ops import descriptors, umeyama
+
+
+def test_global_desc_self_similarity(rng):
+    from sfm_tpu.ops import image as im
+
+    img = jnp.asarray(rng.standard_normal((240, 320)).astype(np.float32) * 40 + 128)
+    d1 = descriptors.global_desc_32(img)
+    assert abs(float(jnp.linalg.norm(d1)) - 1.0) < 1e-5
+    # same image -> score 1; different image -> clearly lower
+    img2 = jnp.asarray(rng.standard_normal((240, 320)).astype(np.float32) * 40 + 128)
+    d2 = descriptors.global_desc_32(img2)
+    assert float(jnp.dot(d1, d1)) > 0.999
+    assert float(jnp.dot(d1, d2)) < 0.5
+
+
+def test_score_bank_masks_invalid(rng):
+    bank = jnp.asarray(rng.standard_normal((8, descriptors.DESC_DIM)).astype(np.float32))
+    valid = jnp.asarray([True, True, False, True, False, True, True, True])
+    d = bank[2] / jnp.linalg.norm(bank[2])
+    s = descriptors.score_bank(bank, valid, d)
+    assert s[2] == -jnp.inf
+
+
+@pytest.fixture(scope="module")
+def out_and_back(tmp_path_factory):
+    from sfm_tpu.utils.synthetic import SyntheticRingSpec, generate_dataset
+    from sfm_tpu.utils.dataset import TempleRing
+
+    lons = tuple(list(np.arange(0, 90, 5.0)) + list(np.arange(85, -1, -5.0)))
+    out = tmp_path_factory.mktemp("ring_loop")
+    spec = SyntheticRingSpec(
+        n_frames=len(lons), width=480, height=360, fx=1100.0, fy=1100.0,
+        path_lons_deg=lons,
+    )
+    generate_dataset(out, spec)
+    return TempleRing.from_dir(out)
+
+
+def loop_cfg():
+    return SystemConfig(
+        frames=37,
+        klt=KLTConfig(max_tracks=512, min_tracks=300, min_distance=8,
+                      pyr_levels=3, win_radius=5, iters=10),
+        ransac=RansacConfig(num_hypotheses=256, sampson_thresh=2e-5, min_inliers=40),
+        keyframe=KeyframeConfig(min_inliers=150, min_gap=1, parallax_px=6.0),
+        ba=BAConfig(window=6, iters=5, max_points=512, huber_delta=3.0),
+        loop=LoopConfig(enabled=True, min_kf_gap=8, score_thresh=0.94,
+                        min_tracked=120, ransac_iters=1024, ransac_thresh=2e-5,
+                        min_inliers=80),
+        pose_graph=PoseGraphConfig(mode="se3", iters=10),
+    )
+
+
+def test_out_and_back_finds_loop(out_and_back):
+    ds = out_and_back
+    sys_ = SfMSystem(ds.K, loop_cfg(), gt_records=ds.records)
+    for i in range(len(ds)):
+        sys_.process(i, ds.records[i].img, ds.load_gray(i))
+    loops = [e for e in sys_.edges if e.is_loop]
+    assert len(loops) >= 1, "revisit must produce at least one loop edge"
+    # loop edges must connect temporally distant, spatially close keyframes
+    for e in loops:
+        assert e.j - e.i >= 8
+        gi = ds.records[sys_.kfs[e.i].frame_idx].center
+        gj = ds.records[sys_.kfs[e.j].frame_idx].center
+        assert np.linalg.norm(gi - gj) < 0.15
+
+    # trajectory quality with loop correction
+    est = np.stack([kf.center for kf in sys_.kfs])
+    gt = np.stack([ds.records[kf.frame_idx].center for kf in sys_.kfs])
+    res = umeyama.ate(jnp.asarray(est), jnp.asarray(gt), with_scale=True)
+    extent = np.linalg.norm(gt - gt.mean(0), axis=1).max()
+    assert float(res["rmse"]) < 0.05 * extent, float(res["rmse"]) / extent
