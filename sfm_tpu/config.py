@@ -84,6 +84,10 @@ class BAConfig:
     huber_delta: float = 3.0
     lambda0: float = 1e-3
     update_points: bool = True  # cpp never back-substitutes (cpp:1059-1060)
+    # final full-problem BA after the frame loop (all keyframes+points);
+    # 0 disables. The reference has no global refinement — this is where
+    # the batched TPU Schur solver pays off on accuracy.
+    global_iters: int = 10
 
 
 @dataclasses.dataclass(frozen=True)

@@ -22,8 +22,8 @@ from sfm_tpu.config import SystemConfig, TranslationMode
 from sfm_tpu.models import mapstate, tracker
 from sfm_tpu.models.mapstate import Edge, Keyframe, MapState
 from sfm_tpu.ops import (ba as ba_ops, descriptors, epipolar, features,
-                         image as im, klt, lie, posegraph as pg_ops,
-                         triangulate)
+                         image as im, klt, lie, pnp as pnp_ops,
+                         posegraph as pg_ops, triangulate)
 
 log = logging.getLogger("sfm_tpu")
 
@@ -236,6 +236,23 @@ class SfMSystem:
             t_ij = -edge.R_ji.T @ (edge.t_ji * s_map)
             self.pose_t = prev.R_cw @ t_ij + prev.t_cw
             self.pose_R = prev.R_cw @ R_ij
+            # PnP against the existing map: once structure exists, robust
+            # 3D-2D GN has no two-view ambiguity — it replaces the
+            # essential-matrix pose (which remains the init + bootstrap)
+            n_pnp = self._pnp_refine_pose(ids, uv, valid)
+            if n_pnp >= 30:
+                # re-derive the odometry edge from the PnP-consistent poses
+                Rwj = self.pose_R.T
+                R_ji = Rwj @ prev.R_cw
+                t_ji = Rwj @ (prev.t_cw - self.pose_t)
+                if self.cfg.translation_mode != TranslationMode.FULL:
+                    n = np.linalg.norm(t_ji)
+                    if n > 1e-12:
+                        t_ji = t_ji / n * self._edge_scale(
+                            prev.frame_idx, frame_idx
+                        )
+                edge.R_ji = R_ji
+                edge.t_ji = t_ji
 
         kf = Keyframe(
             kf_id=kf_id,
@@ -337,6 +354,42 @@ class SfMSystem:
                 t_ji = t_ji / n * scale
         return Edge(i=kf_i.kf_id, j=kf_j_id, R_ji=R_ji, t_ji=t_ji,
                     inliers=int(rp.num_inliers), is_loop=False)
+
+    def _pnp_refine_pose(self, ids, uv, valid) -> int:
+        """Refine the running pose by robust 3D-2D GN against the map
+        (ops/pnp.py). Returns the inlier count (0 if too few points)."""
+        slots = np.nonzero(valid)[0]
+        Xs, obs = [], []
+        for slot in slots:
+            pid = self.map.tid2pid.get(int(ids[slot]))
+            if pid is not None:
+                Xs.append(self.map.points[pid])
+                obs.append(uv[slot])
+        if len(Xs) < 30:
+            return 0
+        n = len(Xs)
+        cap = _next_pow2(n)
+        X = np.zeros((cap, 3))
+        ob = np.zeros((cap, 2))
+        v = np.zeros(cap, bool)
+        X[:n] = np.stack(Xs)
+        ob[:n] = np.stack(obs)
+        v[:n] = True
+        xo = epipolar.normalize_by_K(jnp.asarray(self.K), jnp.asarray(ob))
+        R0 = jnp.asarray(self.pose_R.T)
+        t0 = jnp.asarray(-self.pose_R.T @ self.pose_t)
+        fx = float(self.K[0, 0])
+        R_wc, t_wc, info = pnp_ops.refine_pose(
+            R0, t0, jnp.asarray(X), xo, jnp.asarray(v),
+            iters=10, huber_delta=self.cfg.ba.huber_delta / fx,
+        )
+        n_inl = int(info["inliers"])
+        if n_inl >= 30:
+            R_wc = np.asarray(R_wc, np.float64)
+            t_wc = np.asarray(t_wc, np.float64)
+            self.pose_R = R_wc.T
+            self.pose_t = -R_wc.T @ t_wc
+        return n_inl
 
     def _propagate_scale(self, prev: Keyframe, ids, uv, valid, edge: Edge) -> float:
         """Estimate the translation scale of a new edge from map points
@@ -653,6 +706,63 @@ class SfMSystem:
         if self.metrics:
             self.metrics[-1]["ba_cost0"] = float(info["cost0"])
             self.metrics[-1]["ba_cost"] = float(info["cost"])
+
+    # ------------------------------------------------------------------
+    def finalize(self) -> None:
+        """End-of-run global refinement: full-problem BA over all
+        keyframes and map points (no reference counterpart — the batched
+        Schur solver makes this cheap on TPU)."""
+        if self.cfg.ba.global_iters > 0 and len(self.kfs) >= 3:
+            self._run_global_ba(self.cfg.ba.global_iters)
+
+    def _run_global_ba(self, iters: int) -> None:
+        obs_kf, obs_pid, obs_uv = self.map.obs_arrays()
+        n_pts = self.map.num_points
+        if n_pts < 10 or len(obs_kf) < 30:
+            return
+        F = len(self.kfs)
+        P = _next_pow2(n_pts, lo=256)
+        m = len(obs_kf)
+        M = _next_pow2(m, lo=1024)
+        cam_idx = np.zeros(M, np.int32)
+        pidx = np.zeros(M, np.int32)
+        obs_n = np.zeros((M, 2))
+        ovalid = np.zeros(M, bool)
+        cam_idx[:m] = obs_kf
+        pidx[:m] = obs_pid
+        obs_n[:m] = np.asarray(
+            epipolar.normalize_by_K(jnp.asarray(self.K), jnp.asarray(obs_uv))
+        )
+        ovalid[:m] = True
+        X = np.zeros((P, 3))
+        pvalid = np.zeros(P, bool)
+        X[:n_pts] = self.map.xyz()
+        pvalid[:n_pts] = True
+        R_wc = np.stack([kf.pose_wc[0] for kf in self.kfs])
+        t_wc = np.stack([kf.pose_wc[1] for kf in self.kfs])
+        prob = ba_ops.BAProblem(
+            R_wc=jnp.asarray(R_wc), t_wc=jnp.asarray(t_wc), X=jnp.asarray(X),
+            cam_idx=jnp.asarray(cam_idx), pid_idx=jnp.asarray(pidx),
+            obs=jnp.asarray(obs_n), obs_valid=jnp.asarray(ovalid),
+            point_valid=jnp.asarray(pvalid),
+        )
+        fx = float(self.K[0, 0])
+        R_new, t_new, X_new, info = ba_ops.bundle_adjust(
+            prob, iters=iters, lambda0=self.cfg.ba.lambda0,
+            huber_delta=self.cfg.ba.huber_delta / fx, n_fix=1,
+            update_points=True,
+        )
+        R_new = np.asarray(R_new, np.float64)
+        t_new = np.asarray(t_new, np.float64)
+        for k, kf in enumerate(self.kfs):
+            kf.R_cw = R_new[k].T
+            kf.t_cw = -R_new[k].T @ t_new[k]
+        xyz = np.asarray(X_new, np.float64)[:n_pts]
+        self.map.set_xyz(xyz)
+        self.pose_R = self.kfs[-1].R_cw.copy()
+        self.pose_t = self.kfs[-1].t_cw.copy()
+        log.info("global BA: cost %.3e -> %.3e (%d kfs, %d pts, %d obs)",
+                 float(info["cost0"]), float(info["cost"]), F, n_pts, m)
 
     # ------------------------------------------------------------------
     # artifact export (ref py:1546-1588 / cpp:1873-1906)

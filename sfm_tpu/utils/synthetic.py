@@ -36,7 +36,12 @@ class SyntheticRingSpec:
     texture_size: int = 1024
     texture_blur: float = 2.0
     seed: int = 7
-    background: int = 12
+    background: int = 110  # near the texture mean: keeps the silhouette
+    # (a depth-discontinuity curve whose "corners" are not fixed 3D
+    # points) from dominating the corner detector
+    noise_std: float = 1.5  # sensor noise (intensity levels); also keeps
+    # eight-point E matrices away from exact rank-2 degeneracy, which the
+    # reference C++ svd3 (cpp:537-593) cannot handle (divides by s3≈0)
 
 
 def _look_at_wc(C: np.ndarray, target: np.ndarray) -> np.ndarray:
@@ -60,14 +65,17 @@ def _make_texture(spec: SyntheticRingSpec) -> np.ndarray:
     rng = np.random.default_rng(spec.seed)
     W = spec.texture_size
     H = spec.texture_size // 2
-    tex = rng.standard_normal((H, W))
-    tex = gaussian_filter(tex, spec.texture_blur, mode="wrap")
-    # add a coarser octave for large-scale structure
-    coarse = gaussian_filter(rng.standard_normal((H, W)), spec.texture_blur * 6, mode="wrap")
-    tex = tex + 2.0 * coarse
+    # three octaves: fine (LK gradients), medium (corner structure),
+    # coarse (large-scale shading) — keeps interior corners stronger than
+    # the object silhouette so detectors don't collapse onto the
+    # (geometrically degenerate) boundary
+    tex = gaussian_filter(rng.standard_normal((H, W)), spec.texture_blur, mode="wrap")
+    medium = gaussian_filter(rng.standard_normal((H, W)), spec.texture_blur * 3, mode="wrap")
+    coarse = gaussian_filter(rng.standard_normal((H, W)), spec.texture_blur * 8, mode="wrap")
+    tex = tex + 2.5 * medium + 3.0 * coarse
     lo, hi = np.percentile(tex, [1, 99])
     tex = np.clip((tex - lo) / (hi - lo), 0.0, 1.0)
-    return (40.0 + 180.0 * tex).astype(np.float64)
+    return (25.0 + 210.0 * tex).astype(np.float64)
 
 
 def make_ring_cameras(spec: SyntheticRingSpec):
@@ -147,19 +155,37 @@ def render_frame(spec: SyntheticRingSpec, K, R, t, texture) -> np.ndarray:
     )
     img = np.full(H * W, float(spec.background))
     img[valid] = val[valid]
+    if spec.noise_std > 0:
+        # deterministic per-view sensor noise (seeded from pose)
+        nrng = np.random.default_rng(
+            abs(hash((round(float(t[0]), 6), round(float(t[1]), 6), spec.seed)))
+            % (2**32)
+        )
+        img = img + nrng.standard_normal(H * W) * spec.noise_std
     return np.clip(img, 0, 255).astype(np.uint8).reshape(H, W)
 
 
 def generate_dataset(out_dir: str | Path, spec: SyntheticRingSpec | None = None,
-                     write_png: bool = True, write_pgm: bool = False) -> Path:
+                     write_png: bool = True, write_pgm: bool = False,
+                     name_prefix: str = "synthR",
+                     pgm_dir: str | Path | None = None) -> Path:
     """Render the full dataset into ``out_dir`` in Middlebury layout:
-    ``synthR%04d.png`` images + ``synthR_par.txt`` + ``synthR_ang.txt``.
-    Returns out_dir."""
+    ``{prefix}%04d.png`` images + ``{prefix}_par.txt`` + ``{prefix}_ang.txt``.
+    With ``name_prefix='templeR'`` and ``pgm_dir=<root>/templeRing_pgm`` the
+    output is a drop-in input for the reference C++ pipeline (which expects
+    that exact layout, ref cpp:1678-1680). Returns out_dir."""
     from sfm_tpu.utils.dataset import write_pgm as _write_pgm
 
     spec = spec or SyntheticRingSpec()
     out = Path(out_dir)
     out.mkdir(parents=True, exist_ok=True)
+    if pgm_dir is not None:
+        pgm_dir = Path(pgm_dir)
+        pgm_dir.mkdir(parents=True, exist_ok=True)
+        write_pgm = True
+    elif write_pgm:
+        pgm_dir = out / "templeRing_pgm"
+        pgm_dir.mkdir(exist_ok=True)
     texture = _make_texture(spec)
     K, Rs, ts, Cs, lons = make_ring_cameras(spec)
     n_frames = len(Rs)
@@ -168,20 +194,18 @@ def generate_dataset(out_dir: str | Path, spec: SyntheticRingSpec | None = None,
     ang_lines = []
     lat = -np.rad2deg(np.arctan2(spec.ring_z, spec.ring_radius))
     for i in range(n_frames):
-        name = f"synthR{i + 1:04d}.png"
+        name = f"{name_prefix}{i + 1:04d}.png"
         img = render_frame(spec, K, Rs[i], ts[i], texture)
         if write_png:
             from PIL import Image
 
             Image.fromarray(img).save(out / name)
         if write_pgm:
-            pgm_dir = out / "templeRing_pgm"
-            pgm_dir.mkdir(exist_ok=True)
-            _write_pgm(pgm_dir / f"synthR{i + 1:04d}.pgm", img)
+            _write_pgm(pgm_dir / f"{name_prefix}{i + 1:04d}.pgm", img)
         vals = np.concatenate([K.ravel(), Rs[i].ravel(), ts[i]])
         par_lines.append(name + " " + " ".join(f"{x:.17g}" for x in vals))
         ang_lines.append(f"{lat:.6f} {lons[i]:.6f} {name}")
 
-    (out / "synthR_par.txt").write_text("\n".join(par_lines) + "\n")
-    (out / "synthR_ang.txt").write_text("\n".join(ang_lines) + "\n")
+    (out / f"{name_prefix}_par.txt").write_text("\n".join(par_lines) + "\n")
+    (out / f"{name_prefix}_ang.txt").write_text("\n".join(ang_lines) + "\n")
     return out
