@@ -20,6 +20,11 @@ import sys
 import time
 from pathlib import Path
 
+# TPU runs use the pure 32-bit path: f64/i64 ops (x64 mode) trip XLA:TPU
+# compiler internal errors and would be emulated (slow) anyway. Must be
+# set before sfm_tpu/jax import.
+os.environ.setdefault("SFM_TPU_X64", "0")
+
 import numpy as np
 
 ROOT = Path(__file__).resolve().parent

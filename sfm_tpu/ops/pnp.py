@@ -55,7 +55,13 @@ def refine_pose(R0, t0, X, obs, valid, iters: int = 10,
         r, Xc, z_ok = _residuals(R, t, X, obs)
         n = jnp.linalg.norm(r, axis=-1)
         w = jnp.sqrt(jnp.minimum(1.0, huber_delta / jnp.maximum(n, 1e-12)))
-        w = jnp.where(n > _CUTOFF * huber_delta, 0.0, w)
+        # adaptive gross-outlier gate: a fixed multiple of huber_delta
+        # would also cut true points when the INIT error exceeds it, so
+        # widen by the current robust residual scale
+        med = jnp.nanmedian(jnp.where(valid & z_ok, n, jnp.nan))
+        med = jnp.nan_to_num(med, nan=huber_delta)
+        cut = jnp.maximum(_CUTOFF * huber_delta, 3.0 * med)
+        w = jnp.where(n > cut, 0.0, w)
         w = w * (valid & z_ok).astype(dtype)
         z = jnp.where(jnp.abs(Xc[:, 2]) < 1e-6, 1e-6, Xc[:, 2])
         inv_z = 1.0 / z

@@ -70,7 +70,8 @@ def write_csv_centers(path: str | Path, rows: list[dict]) -> None:
         for r in rows:
             f.write(
                 f"{r['kf_id']},{r['frame_idx']},{r['image']},"
-                f"{r['x']!r},{r['y']!r},{r['z']!r},{r['lat']:.6f},{r['lon']:.6f}\n"
+                f"{float(r['x'])!r},{float(r['y'])!r},{float(r['z'])!r},"
+                f"{float(r['lat']):.6f},{float(r['lon']):.6f}\n"
             )
 
 
@@ -82,8 +83,8 @@ def write_posegraph_edges(path: str | Path, edges: list[dict]) -> None:
     with open(path, "w") as f:
         f.write("i,j,kind,rvec_x,rvec_y,rvec_z,t_x,t_y,t_z\n")
         for e in edges:
-            rv = e["rvec"]
-            t = e["t"]
+            rv = [float(v) for v in e["rvec"]]
+            t = [float(v) for v in e["t"]]
             kind = e.get("kind", "loop" if e.get("is_loop") else "odom")
             f.write(
                 f"{e['i']},{e['j']},{kind},"
