@@ -1,0 +1,127 @@
+"""Checkpoint / resume for long multi-scene runs (SURVEY §5: the
+reference has none — each run restarts from frame 0; we serialize
+(poses, map points, track table, edges, RNG key) per keyframe so runs
+resume mid-sequence)."""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+import numpy as np
+
+
+def save_checkpoint(system, path: str | Path) -> None:
+    """Serialize the full SfMSystem state into one .npz + meta json."""
+    import jax.numpy as jnp
+
+    path = Path(path)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    arrays: dict[str, np.ndarray] = {}
+    meta: dict = {
+        "n_kfs": len(system.kfs),
+        "n_edges": len(system.edges),
+        "prev_frame_idx": system.prev_frame_idx,
+        "last_kf_frame": system.last_kf_frame,
+        "kf_meta": [
+            dict(kf_id=k.kf_id, frame_idx=k.frame_idx, img_name=k.img_name)
+            for k in system.kfs
+        ],
+        "edge_meta": [
+            dict(i=e.i, j=e.j, inliers=e.inliers, is_loop=e.is_loop,
+                 w_rot=e.w_rot, w_trans=e.w_trans)
+            for e in system.edges
+        ],
+        "first_obs_tid": [int(t) for t in system.first_obs],
+        "point_tid": list(system.map.point_tid),
+    }
+    arrays["pose_R"] = system.pose_R
+    arrays["pose_t"] = system.pose_t
+    arrays["rng_key"] = np.asarray(system._key)
+    if system.kfs:
+        arrays["kf_R"] = np.stack([k.R_cw for k in system.kfs])
+        arrays["kf_t"] = np.stack([k.t_cw for k in system.kfs])
+        arrays["kf_ids"] = np.stack([k.ids for k in system.kfs])
+        arrays["kf_uv"] = np.stack([k.uv for k in system.kfs])
+        arrays["kf_valid"] = np.stack([k.valid for k in system.kfs])
+        arrays["kf_desc"] = np.stack(
+            [k.desc if k.desc is not None else np.zeros(1024) for k in system.kfs]
+        )
+    if system.edges:
+        arrays["edge_R"] = np.stack([e.R_ji for e in system.edges])
+        arrays["edge_t"] = np.stack([e.t_ji for e in system.edges])
+    arrays["points"] = system.map.xyz()
+    obs_kf, obs_pid, obs_uv = system.map.obs_arrays()
+    arrays["obs_kf"] = obs_kf
+    arrays["obs_pid"] = obs_pid
+    arrays["obs_uv"] = obs_uv
+    if system.first_obs:
+        arrays["first_obs_kf"] = np.array(
+            [system.first_obs[t][0] for t in system.first_obs], np.int32
+        )
+        arrays["first_obs_uv"] = np.stack(
+            [system.first_obs[t][1] for t in system.first_obs]
+        )
+    if system.state is not None:
+        arrays["trk_pos"] = np.asarray(system.state.pos)
+        arrays["trk_valid"] = np.asarray(system.state.valid)
+        arrays["trk_ids"] = np.asarray(system.state.ids)
+        arrays["trk_next"] = np.asarray(system.state.next_id)
+    np.savez_compressed(path.with_suffix(".npz"), **arrays)
+    path.with_suffix(".json").write_text(json.dumps(meta))
+
+
+def load_checkpoint(system, path: str | Path) -> None:
+    """Restore state saved by save_checkpoint into ``system`` (which must
+    have been constructed with the same K/config). The previous-frame
+    image pyramid is NOT stored; feed the last processed frame again (or
+    the next frame) after loading."""
+    import jax.numpy as jnp
+
+    from sfm_tpu.models import tracker
+    from sfm_tpu.models.mapstate import Edge, Keyframe
+
+    path = Path(path)
+    z = np.load(path.with_suffix(".npz"))
+    meta = json.loads(path.with_suffix(".json").read_text())
+    system.pose_R = z["pose_R"]
+    system.pose_t = z["pose_t"]
+    system._key = jnp.asarray(z["rng_key"])
+    system.prev_frame_idx = meta["prev_frame_idx"]
+    system.last_kf_frame = meta["last_kf_frame"]
+    system.kfs = []
+    for k, km in enumerate(meta["kf_meta"]):
+        system.kfs.append(
+            Keyframe(
+                kf_id=km["kf_id"], frame_idx=km["frame_idx"],
+                img_name=km["img_name"], R_cw=z["kf_R"][k], t_cw=z["kf_t"][k],
+                ids=z["kf_ids"][k], uv=z["kf_uv"][k], valid=z["kf_valid"][k],
+                desc=z["kf_desc"][k],
+            )
+        )
+    system.edges = []
+    for k, em in enumerate(meta["edge_meta"]):
+        system.edges.append(
+            Edge(i=em["i"], j=em["j"], R_ji=z["edge_R"][k], t_ji=z["edge_t"][k],
+                 inliers=em["inliers"], is_loop=em["is_loop"],
+                 w_rot=em["w_rot"], w_trans=em["w_trans"])
+        )
+    m = system.map
+    m.points = [p for p in z["points"]]
+    m.point_tid = list(meta["point_tid"])
+    m.tid2pid = {int(t): i for i, t in enumerate(m.point_tid)}
+    m.obs_kf = list(z["obs_kf"])
+    m.obs_pid = list(z["obs_pid"])
+    m.obs_uv = [u for u in z["obs_uv"]]
+    system.first_obs = {}
+    if "first_obs_kf" in z:
+        for t, kf, uv in zip(meta["first_obs_tid"], z["first_obs_kf"],
+                             z["first_obs_uv"]):
+            system.first_obs[int(t)] = (int(kf), uv)
+    if "trk_pos" in z:
+        system.state = tracker.TrackerState(
+            pos=jnp.asarray(z["trk_pos"]),
+            valid=jnp.asarray(z["trk_valid"]),
+            ids=jnp.asarray(z["trk_ids"]),
+            next_id=jnp.asarray(z["trk_next"]),
+        )
