@@ -35,6 +35,16 @@ def _next_pow2(n: int, lo: int = 64) -> int:
     return p
 
 
+# Fixed per-stage capacities: every in-loop jitted stage compiles exactly
+# once (TPU compiles are ~30-60s each over the remote-compile tunnel, so
+# per-size bucketing is too expensive inside the frame loop). Overflow is
+# truncated; for triangulation the leftover tracks simply stay pending
+# until the next keyframe.
+TRI_CAP = 1024
+PNP_CAP = 1024
+BA_OBS_CAP = 4096
+
+
 @jax.jit
 def _to_pyramid3(img_u8):
     img = img_u8.astype(jnp.float32)
@@ -367,8 +377,11 @@ class SfMSystem:
                 obs.append(uv[slot])
         if len(Xs) < 30:
             return 0
+        if len(Xs) > PNP_CAP:
+            Xs = Xs[:PNP_CAP]
+            obs = obs[:PNP_CAP]
         n = len(Xs)
-        cap = _next_pow2(n)
+        cap = PNP_CAP
         X = np.zeros((cap, 3))
         ob = np.zeros((cap, 2))
         v = np.zeros(cap, bool)
@@ -456,8 +469,13 @@ class SfMSystem:
 
         if not tri_tid:
             return
+        if len(tri_tid) > TRI_CAP:
+            # leftover tracks stay in first_obs and triangulate (with a
+            # longer baseline) at the next keyframe
+            tri_tid = tri_tid[:TRI_CAP]
+            tri_a = tri_a[:TRI_CAP]
         n = len(tri_tid)
-        cap = _next_pow2(n)
+        cap = TRI_CAP
         R_a = np.zeros((cap, 3, 3))
         t_a = np.zeros((cap, 3))
         uv_a = np.zeros((cap, 2))
@@ -648,7 +666,11 @@ class SfMSystem:
         m = int(sel.sum())
         if m < 12:
             return
-        M = _next_pow2(m, lo=256)
+        sel_idx = np.nonzero(sel)[0]
+        if m > BA_OBS_CAP:
+            sel_idx = sel_idx[:BA_OBS_CAP]
+            m = BA_OBS_CAP
+        M = BA_OBS_CAP
         cam_idx = np.zeros(M, np.int32)
         pidx = np.zeros(M, np.int32)
         obs_n = np.zeros((M, 2))
@@ -656,9 +678,11 @@ class SfMSystem:
         kf_map = np.zeros(max(k.kf_id for k in win) + 1, np.int32)
         for kfid, k in win_ids.items():
             kf_map[kfid] = k
-        cam_idx[:m] = kf_map[obs_kf[sel]]
-        pidx[:m] = pid_local[obs_pid[sel]]
-        xo = epipolar.normalize_by_K(jnp.asarray(self.K), jnp.asarray(obs_uv[sel]))
+        cam_idx[:m] = kf_map[obs_kf[sel_idx]]
+        pidx[:m] = pid_local[obs_pid[sel_idx]]
+        xo = epipolar.normalize_by_K(
+            jnp.asarray(self.K), jnp.asarray(obs_uv[sel_idx])
+        )
         obs_n[:m] = np.asarray(xo)
         ovalid[:m] = True
 
@@ -667,8 +691,16 @@ class SfMSystem:
         X[: len(pids_w)] = self.map.xyz()[pids_w]
         pvalid[: len(pids_w)] = True
 
-        R_wc = np.stack([kf.pose_wc[0] for kf in win])
-        t_wc = np.stack([kf.pose_wc[1] for kf in win])
+        # pad the pose axis to the configured window so the BA program
+        # compiles once (padded poses have no observations; they get a
+        # unit prior in the Schur solve and their updates are discarded)
+        Fp = cfg.window
+        R_wc = np.stack(
+            [kf.pose_wc[0] for kf in win] + [np.eye(3)] * (Fp - F)
+        )
+        t_wc = np.stack(
+            [kf.pose_wc[1] for kf in win] + [np.zeros(3)] * (Fp - F)
+        )
         prob = ba_ops.BAProblem(
             R_wc=jnp.asarray(R_wc),
             t_wc=jnp.asarray(t_wc),

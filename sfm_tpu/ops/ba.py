@@ -167,9 +167,12 @@ def _solve_schur(Hcc, bc, Hpp, bp, W, point_valid, lam, n_fix: int):
 
     Sf = S.transpose(0, 2, 1, 3).reshape(6 * F, 6 * F)
     bf = b.reshape(6 * F)
-    # LM damping on the camera diagonal
+    # LM damping on the camera diagonal; poses with NO observations
+    # (fixed-capacity padding) get a unit prior so the Cholesky stays
+    # well-conditioned in f32
     dS = jnp.diag(Sf)
-    Sf = Sf + jnp.diag(lam * jnp.maximum(dS, 1e-6) + 1e-9)
+    prior = jnp.where(dS <= 0.0, 1.0, 0.0)
+    Sf = Sf + jnp.diag(lam * jnp.maximum(dS, 1e-6) + 1e-9 + prior)
     # gauge: first n_fix poses are frozen (solve the trailing block)
     k = 6 * n_fix
     Sf_red = Sf[k:, k:]
