@@ -95,6 +95,9 @@ class LoopConfig:
     """ref: py:297-303 (ORB flavor) + cpp:1822-1866 (descriptor flavor)."""
 
     enabled: bool = True
+    # "descriptor": cpp semantics (32x32 global descriptor + LK verify)
+    # "orb": python semantics (oriented binary features + ratio matching)
+    method: str = "descriptor"
     min_kf_gap: int = 6
     score_thresh: float = 0.94  # cpp:1831
     min_tracked: int = 120  # cpp:1856
@@ -102,6 +105,10 @@ class LoopConfig:
     ransac_thresh: float = 2e-3
     min_inliers: int = 100  # cpp:1858
     every_kf: int = 1
+    # ORB-flavor knobs (ref py:297-303)
+    top_k: int = 5
+    min_matches: int = 80
+    max_keypoints: int = 512
 
 
 @dataclasses.dataclass(frozen=True)

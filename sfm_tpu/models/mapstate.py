@@ -34,6 +34,7 @@ class Keyframe:
     valid: np.ndarray  # (T,) bool
     desc: np.ndarray | None = None  # (D,) global descriptor for loop closure
     pyr: tuple | None = None  # device image pyramid kept for loop verify
+    orb: tuple | None = None  # (xy, desc, valid) oriented binary features
 
     @property
     def pose_wc(self):

@@ -24,6 +24,7 @@ from sfm_tpu.models.mapstate import Edge, Keyframe, MapState
 from sfm_tpu.ops import (ba as ba_ops, descriptors, epipolar, features,
                          image as im, klt, lie, pnp as pnp_ops,
                          posegraph as pg_ops, triangulate)
+from sfm_tpu.utils.profiling import StageTimers
 
 log = logging.getLogger("sfm_tpu")
 
@@ -122,6 +123,7 @@ class SfMSystem:
         self._key = jax.random.PRNGKey(cfg.ransac.seed)
         self._Kj = jnp.asarray(self.K, jnp.float32)
         self.metrics: list[dict] = []
+        self.timers = StageTimers()  # SURVEY §5 tracing subsystem
         # hooks installed by higher layers (BA / loop closure / pose graph)
         self.on_keyframe = []
 
@@ -134,7 +136,8 @@ class SfMSystem:
         """Feed one frame (ref py:1022-1059). Returns per-frame metrics."""
         t0 = time.perf_counter()
         cfg = self.cfg
-        pyr = build_pyramid_u8(jnp.asarray(gray_u8), cfg.klt.pyr_levels)
+        with self.timers.stage("pyramid"):
+            pyr = build_pyramid_u8(jnp.asarray(gray_u8), cfg.klt.pyr_levels)
         met = {"frame": frame_idx, "image": img_name}
 
         if self.state is None:
@@ -147,19 +150,21 @@ class SfMSystem:
             self.metrics.append(met)
             return met
 
-        self.state, prev_pos, matched = tracker.step(
-            self.prev_pyr, pyr, self.state, cfg.klt
-        )
-        rp, parallax = _two_view_stage(
-            self._next_key(),
-            self._Kj,
-            prev_pos.astype(jnp.float32),
-            self.state.pos.astype(jnp.float32),
-            matched,
-            num_hypotheses=cfg.ransac.num_hypotheses,
-            sampson_thresh=cfg.ransac.sampson_thresh,
-            min_inliers=cfg.ransac.min_inliers,
-        )
+        with self.timers.stage("klt"):
+            self.state, prev_pos, matched = tracker.step(
+                self.prev_pyr, pyr, self.state, cfg.klt
+            )
+        with self.timers.stage("two_view"):
+            rp, parallax = _two_view_stage(
+                self._next_key(),
+                self._Kj,
+                prev_pos.astype(jnp.float32),
+                self.state.pos.astype(jnp.float32),
+                matched,
+                num_hypotheses=cfg.ransac.num_hypotheses,
+                sampson_thresh=cfg.ransac.sampson_thresh,
+                min_inliers=cfg.ransac.min_inliers,
+            )
         ok = bool(rp.ok)
         inliers = int(rp.num_inliers)
         parallax = float(parallax)
@@ -276,6 +281,12 @@ class SfMSystem:
             desc=np.asarray(descriptors.global_desc_32(pyr[0])),
             pyr=pyr,
         )
+        if self.cfg.loop.enabled and self.cfg.loop.method == "orb":
+            from sfm_tpu.ops import orb as orb_ops
+
+            kf.orb = orb_ops.detect_and_describe(
+                pyr[0], max_kp=self.cfg.loop.max_keypoints
+            )
         self.kfs.append(kf)
         self.last_kf_frame = frame_idx
         self._update_map(kf)
@@ -287,7 +298,8 @@ class SfMSystem:
             and kf_id > 0
             and kf_id % max(self.cfg.loop_every_kf, 1) == 0
         ):
-            found_loop = self._try_loop_closure(kf)
+            with self.timers.stage("loop_closure"):
+                found_loop = self._try_loop_closure(kf)
 
         # pose graph (cpp:1862 semantics: only once loop edges exist —
         # without loops the graph is chain-shaped and a solve would only
@@ -296,10 +308,12 @@ class SfMSystem:
         if kf_id >= 2 and have_loops and (
             found_loop or kf_id % max(self.cfg.posegraph_every_kf, 1) == 0
         ):
-            self._run_pose_graph()
+            with self.timers.stage("pose_graph"):
+                self._run_pose_graph()
 
         if self.cfg.ba.iters > 0 and kf_id > 0:
-            self._run_local_ba()
+            with self.timers.stage("local_ba"):
+                self._run_local_ba()
 
         for hook in self.on_keyframe:
             hook(self, kf)
@@ -512,6 +526,54 @@ class SfMSystem:
 
     # ------------------------------------------------------------------
     def _try_loop_closure(self, kf: Keyframe) -> bool:
+        """Dispatch between the two reference loop-closure flavors:
+        'descriptor' (cpp:1822-1866) and 'orb' (py:532-595)."""
+        if self.cfg.loop.method == "orb":
+            return self._try_loop_closure_orb(kf)
+        return self._try_loop_closure_descriptor(kf)
+
+    def _try_loop_closure_orb(self, kf: Keyframe) -> bool:
+        """ORB-flavor: oriented-binary-feature ratio matching against
+        candidates >= min_kf_gap older, top-k by match count, per-candidate
+        E-RANSAC gate (ref py:557-595)."""
+        from sfm_tpu.ops import orb as orb_ops
+
+        lcfg = self.cfg.loop
+        if kf.orb is None:
+            return False
+        xy_j, d_j, v_j = kf.orb
+        cands = [
+            k for k in self.kfs[: max(kf.kf_id - lcfg.min_kf_gap + 1, 0)]
+            if k.orb is not None
+        ]
+        scored = []
+        for old in cands:
+            xy_i, d_i, v_i = old.orb
+            idx, ok, _ = orb_ops.match_hamming(d_i, v_i, d_j, v_j)
+            n = int(jnp.sum(ok))
+            if n >= lcfg.min_matches:
+                scored.append((n, old, idx, ok))
+        scored.sort(key=lambda s: -s[0])
+        for n, old, idx, ok in scored[: lcfg.top_k]:
+            xy_i = old.orb[0]
+            pi = np.asarray(xy_i)
+            pj = np.asarray(xy_j)[np.asarray(idx)]
+            rp, _ = _two_view_stage(
+                self._next_key(),
+                self._Kj,
+                jnp.asarray(pi, jnp.float32),
+                jnp.asarray(pj, jnp.float32),
+                ok,
+                num_hypotheses=lcfg.ransac_iters,
+                sampson_thresh=lcfg.ransac_thresh,
+                min_inliers=lcfg.min_inliers,
+            )
+            if bool(rp.ok) and int(rp.num_inliers) >= lcfg.min_inliers:
+                self._append_loop_edge(old, kf, rp)
+                return True
+        return False
+
+    def _try_loop_closure_descriptor(self, kf: Keyframe) -> bool:
         """Descriptor search + LK re-track verify + E-RANSAC gate
         (ref cpp:1822-1866). Returns True if a loop edge was added."""
         lcfg = self.cfg.loop
@@ -561,6 +623,10 @@ class SfMSystem:
         )
         if not bool(rp.ok) or int(rp.num_inliers) < lcfg.min_inliers:
             return False
+        self._append_loop_edge(old, kf, rp)
+        return True
+
+    def _append_loop_edge(self, old: Keyframe, kf: Keyframe, rp) -> None:
         t_ji = np.asarray(rp.t, np.float64)
         if self.cfg.translation_mode != TranslationMode.FULL:
             n = np.linalg.norm(t_ji)
@@ -572,11 +638,10 @@ class SfMSystem:
                  w_rot=self.cfg.pose_graph.loop_weight,
                  w_trans=self.cfg.pose_graph.loop_weight)
         )
-        log.info("loop closure %d -> %d (score %.3f, inliers %d)",
-                 old.kf_id, kf.kf_id, float(scores[best]), int(rp.num_inliers))
+        log.info("loop closure %d -> %d (inliers %d)",
+                 old.kf_id, kf.kf_id, int(rp.num_inliers))
         if self.metrics:
             self.metrics[-1]["loop"] = (old.kf_id, kf.kf_id)
-        return True
 
     # ------------------------------------------------------------------
     def _run_pose_graph(self) -> None:

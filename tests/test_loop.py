@@ -82,3 +82,25 @@ def test_out_and_back_finds_loop(out_and_back):
     res = umeyama.ate(jnp.asarray(est), jnp.asarray(gt), with_scale=True)
     extent = np.linalg.norm(gt - gt.mean(0), axis=1).max()
     assert float(res["rmse"]) < 0.05 * extent, float(res["rmse"]) / extent
+
+
+def test_out_and_back_orb_flavor(out_and_back):
+    """Python-reference loop-closure flavor (ORB + ratio matching) must
+    also find the revisit loop (ref py:532-595 semantics)."""
+    import dataclasses
+
+    ds = out_and_back
+    cfg = loop_cfg()
+    cfg = dataclasses.replace(
+        cfg, loop=dataclasses.replace(cfg.loop, method="orb", min_matches=60,
+                                      min_inliers=60),
+    )
+    sys_ = SfMSystem(ds.K, cfg, gt_records=ds.records)
+    for i in range(len(ds)):
+        sys_.process(i, ds.records[i].img, ds.load_gray(i))
+    loops = [e for e in sys_.edges if e.is_loop]
+    assert len(loops) >= 1
+    for e in loops:
+        gi = ds.records[sys_.kfs[e.i].frame_idx].center
+        gj = ds.records[sys_.kfs[e.j].frame_idx].center
+        assert np.linalg.norm(gi - gj) < 0.2
