@@ -113,3 +113,39 @@ def test_scene_step_runs_on_mesh(rng):
     ok = np.asarray(new_state.valid)
     med = np.median(flow[ok], axis=0)
     np.testing.assert_allclose(med, [2.0, 1.0], atol=0.3)
+
+
+def test_run_scenes_lockstep(tmp_path_factory, rng):
+    """BASELINE config 5: multiple synthetic rings reconstructed in
+    lockstep over the scene-sharded mesh; each trajectory must align to
+    its GT."""
+    import jax.numpy as jnp
+    from sfm_tpu.config import RansacConfig
+    from sfm_tpu.ops import umeyama
+    from sfm_tpu.parallel import batch_runner
+    from sfm_tpu.utils.dataset import TempleRing
+    from sfm_tpu.utils.synthetic import SyntheticRingSpec, generate_dataset
+
+    datasets = []
+    for s in range(4):
+        out = tmp_path_factory.mktemp(f"scene{s}")
+        spec = SyntheticRingSpec(n_frames=5, width=320, height=240, fx=760.0,
+                                 fy=760.0, arc_deg=20.0, seed=10 + s)
+        generate_dataset(out, spec)
+        datasets.append(TempleRing.from_dir(out))
+
+    m = mesh_lib.make_mesh(4)
+    kcfg = KLTConfig(max_tracks=256, min_tracks=120, pyr_levels=3,
+                     win_radius=5, iters=10)
+    res = batch_runner.run_scenes(
+        datasets, m, kcfg=kcfg,
+        rcfg=RansacConfig(num_hypotheses=128, sampson_thresh=2e-5,
+                          min_inliers=30),
+    )
+    C = res["centers"]
+    assert C.shape == (4, 5, 3)
+    for s, ds in enumerate(datasets):
+        gt = np.stack([r.center for r in ds.records])
+        ate = umeyama.ate(jnp.asarray(C[s]), jnp.asarray(gt), with_scale=True)
+        ext = np.linalg.norm(gt - gt.mean(0), axis=1).max()
+        assert float(ate["rmse"]) < 0.15 * ext, (s, float(ate["rmse"]) / ext)
