@@ -24,6 +24,11 @@ from pathlib import Path
 # compiler internal errors and would be emulated (slow) anyway. Must be
 # set before sfm_tpu/jax import.
 os.environ.setdefault("SFM_TPU_X64", "0")
+# persistent compilation cache: TPU compiles are ~30-60s each over the
+# remote-compile tunnel; cache them across bench invocations
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      str(Path(__file__).resolve().parent / "out" / "jax_cache"))
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 
 import numpy as np
 

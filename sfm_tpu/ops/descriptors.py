@@ -10,7 +10,6 @@ whole keyframe bank scores with one (KF,1024)x(1024,) matvec on the MXU
 
 from __future__ import annotations
 
-from functools import partial
 
 import jax
 import jax.numpy as jnp

@@ -68,7 +68,7 @@ def eight_point_E(xi, xj, weights=None):
         A = A * weights[..., None]
     e = linalg.nullvec_lstsq(A)
     E = e.reshape(*e.shape[:-1], 3, 3)
-    u, s, vt = jnp.linalg.svd(E, full_matrices=True)
+    u, s, vt = linalg.svd3_jacobi(E)
     sbar = 0.5 * (s[..., 0] + s[..., 1])
     s2 = jnp.stack([sbar, sbar, jnp.zeros_like(sbar)], axis=-1)
     return (u * s2[..., None, :]) @ vt
@@ -93,10 +93,10 @@ def sampson_error(E, xi, xj, return_den: bool = False):
 
 def decompose_E(E):
     """E -> 4 candidate (R, t) pairs, det-fixed (ref: cpp:680-712)."""
-    u, _, vt = jnp.linalg.svd(E, full_matrices=True)
+    u, _, vt = linalg.svd3_jacobi(E)
     # ensure proper rotations
-    u = u * jnp.sign(jnp.linalg.det(u))[..., None, None]
-    vt = vt * jnp.sign(jnp.linalg.det(vt))[..., None, None]
+    u = u * jnp.sign(linalg.det3(u))[..., None, None]
+    vt = vt * jnp.sign(linalg.det3(vt))[..., None, None]
     W = jnp.array([[0.0, -1.0, 0.0], [1.0, 0.0, 0.0], [0.0, 0.0, 1.0]], E.dtype)
     R1 = u @ W @ vt
     R2 = u @ W.T @ vt
@@ -178,7 +178,7 @@ def _polish_rt(R0, t0, xi, xj, valid, thr, iters: int = 10, damping: float = 1e-
         Jw = J * w[:, None]
         H = Jw.T @ J + damping * jnp.eye(5, dtype=xi.dtype)
         g = Jw.T @ r0
-        dp = -jnp.linalg.solve(H, g)
+        dp = -linalg.solve_psd_small(H, g, jitter=1e-12)
         Rn = lie.so3_exp(dp[:3]) @ R
         tn = t + B @ dp[3:]
         tn = tn / jnp.linalg.norm(tn)

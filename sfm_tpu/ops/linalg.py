@@ -14,23 +14,170 @@ import jax
 import jax.numpy as jnp
 
 
+def jacobi_eigh(A, sweeps: int = 18):
+    """Batched cyclic Jacobi eigensolver for small symmetric matrices.
+
+    A (...,n,n) symmetric, n static (intended n<=10). Returns
+    (w (...,n) ascending, V (...,n,n) with eigenvectors in columns).
+
+    Replaces ``jnp.linalg.eigh`` in the compute path: XLA's LAPACK-style
+    eigh/svd on TPU lowers to enormous, slow programs for batched tiny
+    matrices, while these unrolled vectorized rotations compile to plain
+    VPU ops (and are the batched equivalent of the reference's own
+    ``jacobi_eig_sym``, linalg.hpp:133-201).
+    """
+    n = A.shape[-1]
+    dtype = A.dtype
+    V = jnp.broadcast_to(jnp.eye(n, dtype=dtype), A.shape)
+    tiny = jnp.asarray(1e-30, dtype)
+
+    def rotate(A, V, p, q):
+        app = A[..., p, p]
+        aqq = A[..., q, q]
+        apq = A[..., p, q]
+        # tan(2θ)-based stable rotation
+        theta = 0.5 * (aqq - app) / jnp.where(jnp.abs(apq) < tiny, tiny, apq)
+        t = jnp.sign(theta) / (jnp.abs(theta) + jnp.sqrt(1.0 + theta * theta))
+        t = jnp.where(jnp.abs(apq) < tiny, 0.0, t)
+        c = 1.0 / jnp.sqrt(1.0 + t * t)
+        s = t * c
+        # rows p,q
+        Ap = A[..., p, :]
+        Aq = A[..., q, :]
+        A = A.at[..., p, :].set(c[..., None] * Ap - s[..., None] * Aq)
+        A = A.at[..., q, :].set(s[..., None] * Ap + c[..., None] * Aq)
+        # cols p,q
+        Ap = A[..., :, p]
+        Aq = A[..., :, q]
+        A = A.at[..., :, p].set(c[..., None] * Ap - s[..., None] * Aq)
+        A = A.at[..., :, q].set(s[..., None] * Ap + c[..., None] * Aq)
+        Vp = V[..., :, p]
+        Vq = V[..., :, q]
+        V = V.at[..., :, p].set(c[..., None] * Vp - s[..., None] * Vq)
+        V = V.at[..., :, q].set(s[..., None] * Vp + c[..., None] * Vq)
+        return A, V
+
+    pairs = [(p, q) for p in range(n - 1) for q in range(p + 1, n)]
+
+    def sweep(carry, _):
+        A, V = carry
+        for p, q in pairs:
+            A, V = rotate(A, V, p, q)
+        return (A, V), None
+
+    (A, V), _ = jax.lax.scan(sweep, (A, V), None, length=sweeps)
+    w = jnp.diagonal(A, axis1=-2, axis2=-1)
+    order = jnp.argsort(w, axis=-1)
+    w = jnp.take_along_axis(w, order, axis=-1)
+    V = jnp.take_along_axis(V, order[..., None, :], axis=-1)
+    return w, V
+
+
 def smallest_eigvec_sym(A):
     """Unit eigenvector of the smallest eigenvalue of symmetric A (...,n,n).
 
     Used for 8-point null vectors (A^T A, 9x9) and DLT triangulation (4x4),
     replacing jacobi_eig_sym calls at cpp:626, cpp:1504.
     """
-    _, vecs = jnp.linalg.eigh(A)  # ascending eigenvalues
+    _, vecs = jacobi_eigh(A)
     return vecs[..., :, 0]
 
 
-def nullvec_lstsq(A):
-    """Unit right-singular vector of smallest singular value of A (...,m,n).
+def onesided_jacobi(A, sweeps: int = 12):
+    """Batched one-sided Jacobi SVD core: orthogonalizes the n columns of
+    A (...,m,n) by plane rotations accumulated into V.
 
-    Better conditioned than eigh(A^T A) when running in f32.
-    """
-    _, _, vt = jnp.linalg.svd(A, full_matrices=True)
-    return vt[..., -1, :]
+    Returns (AV (...,m,n) with mutually orthogonal columns u_k·s_k,
+    s (...,n) column norms UNsorted, V (...,n,n)). Unlike the
+    eigen-of-AᵀA route this never squares the condition number, so f32
+    null vectors keep ~1e-6 relative accuracy instead of ~3e-4."""
+    n = A.shape[-1]
+    dtype = A.dtype
+    V = jnp.broadcast_to(jnp.eye(n, dtype=dtype), (*A.shape[:-2], n, n))
+    tiny = jnp.asarray(1e-30, dtype)
+    pairs = [(p, q) for p in range(n - 1) for q in range(p + 1, n)]
+
+    def sweep(carry, _):
+        A, V = carry
+        for p, q in pairs:
+            ap = A[..., :, p]
+            aq = A[..., :, q]
+            app = jnp.sum(ap * ap, axis=-1)
+            aqq = jnp.sum(aq * aq, axis=-1)
+            apq = jnp.sum(ap * aq, axis=-1)
+            tau = 0.5 * (aqq - app) / jnp.where(jnp.abs(apq) < tiny, tiny, apq)
+            t = jnp.sign(tau) / (jnp.abs(tau) + jnp.sqrt(1.0 + tau * tau))
+            t = jnp.where(jnp.abs(apq) < tiny, 0.0, t)
+            c = 1.0 / jnp.sqrt(1.0 + t * t)
+            s = t * c
+            A = A.at[..., :, p].set(c[..., None] * ap - s[..., None] * aq)
+            A = A.at[..., :, q].set(s[..., None] * ap + c[..., None] * aq)
+            vp = V[..., :, p]
+            vq = V[..., :, q]
+            V = V.at[..., :, p].set(c[..., None] * vp - s[..., None] * vq)
+            V = V.at[..., :, q].set(s[..., None] * vp + c[..., None] * vq)
+        return (A, V), None
+
+    (A, V), _ = jax.lax.scan(sweep, (A, V), None, length=sweeps)
+    s = jnp.linalg.norm(A, axis=-2)
+    return A, s, V
+
+
+def nullvec_lstsq(A):
+    """Unit null vector of A (...,m,n): right-singular vector of the
+    smallest singular value via batched one-sided Jacobi (XLA's
+    LAPACK-style svd is pathologically slow for batched tiny matrices on
+    TPU, and the eigen-of-AᵀA route halves f32 precision)."""
+    _, s, V = onesided_jacobi(A)
+    idx = jnp.argmin(s, axis=-1)
+    return jnp.take_along_axis(V, idx[..., None, None], axis=-1)[..., 0]
+
+
+def svd3_jacobi(A):
+    """Batched 3x3 SVD (U, s descending, Vt) via one-sided Jacobi with
+    Gram-Schmidt completion of U for tiny singular values (the batched
+    equivalent of the reference's svd3, cpp:537-593)."""
+    AV_u, s_u, V_u = onesided_jacobi(A)
+    order = jnp.argsort(-s_u, axis=-1)
+    s = jnp.take_along_axis(s_u, order, axis=-1)
+    V = jnp.take_along_axis(V_u, order[..., None, :], axis=-1)
+    AV = jnp.take_along_axis(AV_u, order[..., None, :], axis=-1)
+    s_safe = jnp.maximum(s, 1e-12 * (s[..., :1] + 1e-30))
+    U = AV / s_safe[..., None, :]
+    # Gram-Schmidt re-orthonormalization (robust for rank-deficient A)
+    u0 = U[..., :, 0]
+    n0 = jnp.linalg.norm(u0, axis=-1, keepdims=True)
+    fallback0 = jnp.zeros_like(u0).at[..., 0].set(1.0)
+    u0 = jnp.where(n0 > 1e-6, u0 / jnp.maximum(n0, 1e-30), fallback0)
+    u1 = U[..., :, 1]
+    u1 = u1 - u0 * jnp.sum(u0 * u1, axis=-1, keepdims=True)
+    n1 = jnp.linalg.norm(u1, axis=-1, keepdims=True)
+    h = jnp.where(
+        jnp.abs(u0[..., :1]) < 0.9,
+        jnp.zeros_like(u0).at[..., 0].set(1.0),
+        jnp.zeros_like(u0).at[..., 1].set(1.0),
+    )
+    alt1 = jnp.cross(u0, h)
+    alt1 = alt1 / jnp.maximum(jnp.linalg.norm(alt1, axis=-1, keepdims=True), 1e-30)
+    u1 = jnp.where(n1 > 1e-6, u1 / jnp.maximum(n1, 1e-30), alt1)
+    u2 = jnp.cross(u0, u1)
+    # orient u2 to match A v2 (so U s Vt = A for full-rank A); keep the
+    # right-handed completion when s2 ~ 0 (rank-2 input)
+    av2 = AV[..., :, 2]
+    d2 = jnp.sum(u2 * av2, axis=-1, keepdims=True)
+    sign2 = jnp.where(jnp.abs(d2) > 1e-9, jnp.sign(d2), 1.0)
+    u2 = u2 * sign2
+    U = jnp.stack([u0, u1, u2], axis=-1)
+    return U, s, jnp.swapaxes(V, -1, -2)
+
+
+def det3(A):
+    """Closed-form batched 3x3 determinant (avoids XLA's LU custom call)."""
+    return (
+        A[..., 0, 0] * (A[..., 1, 1] * A[..., 2, 2] - A[..., 1, 2] * A[..., 2, 1])
+        - A[..., 0, 1] * (A[..., 1, 0] * A[..., 2, 2] - A[..., 1, 2] * A[..., 2, 0])
+        + A[..., 0, 2] * (A[..., 1, 0] * A[..., 2, 1] - A[..., 1, 1] * A[..., 2, 0])
+    )
 
 
 def inv3(A):
@@ -60,14 +207,65 @@ def inv3(A):
     return M * inv_det[..., None, None]
 
 
+def cholesky_unrolled(A):
+    """Dense Cholesky with a statically unrolled column loop (vectorized
+    rank-1 downdates). For the small/medium systems in this framework
+    (5..48 dims) this lowers to plain VPU ops instead of the slow
+    LAPACK-style custom calls XLA:TPU emits for lax.linalg.cholesky."""
+    n = A.shape[-1]
+    dtype = A.dtype
+    L = jnp.zeros_like(A)
+    idx = jnp.arange(n)
+    for j in range(n):
+        d = jnp.sqrt(jnp.maximum(A[..., j, j], 1e-30))
+        col = A[..., :, j] / d[..., None]
+        col = jnp.where(idx >= j, col, jnp.zeros_like(col))
+        L = L.at[..., :, j].set(col)
+        A = A - col[..., :, None] * col[..., None, :]
+    return L
+
+
+def _forward_sub(L, b):
+    """Solve L y = b (L lower-triangular), unrolled."""
+    n = L.shape[-1]
+    y = jnp.zeros_like(b)
+    for i in range(n):
+        acc = jnp.einsum("...k,...k->...", L[..., i, :], y)
+        y = y.at[..., i].set((b[..., i] - acc) / L[..., i, i])
+    return y
+
+
+def _backward_sub(U, b):
+    """Solve U x = b (U upper-triangular), unrolled."""
+    n = U.shape[-1]
+    x = jnp.zeros_like(b)
+    for i in range(n - 1, -1, -1):
+        acc = jnp.einsum("...k,...k->...", U[..., i, :], x)
+        x = x.at[..., i].set((b[..., i] - acc) / U[..., i, i])
+    return x
+
+
+def solve_psd_small(A, b, jitter: float = 0.0):
+    """Cholesky solve for PSD A with static n<=48, fully unrolled."""
+    n = A.shape[-1]
+    if jitter:
+        A = A + jitter * jnp.eye(n, dtype=A.dtype)
+    L = cholesky_unrolled(A)
+    y = _forward_sub(L, b)
+    return _backward_sub(jnp.swapaxes(L, -1, -2), y)
+
+
 def solve_psd(A, b, jitter: float = 0.0):
     """Solve A x = b for symmetric positive-(semi)definite A via Cholesky.
 
     Replaces the reference's partial-pivot Gaussian elimination
-    (dense.hpp:54-93) on the reduced camera system — Cholesky maps onto
-    XLA's blocked triangular solves.
+    (dense.hpp:54-93) on the reduced camera system. Small systems use the
+    unrolled Cholesky (TPU-friendly); large ones fall back to XLA's
+    blocked factorization.
     """
     n = A.shape[-1]
+    if n <= 48:
+        return solve_psd_small(A, b, jitter)
     if jitter:
         A = A + jitter * jnp.eye(n, dtype=A.dtype)
     L = jnp.linalg.cholesky(A)
@@ -80,13 +278,13 @@ def solve_psd(A, b, jitter: float = 0.0):
 
 def svd3(A):
     """Batched 3x3 SVD (U, s, Vt); ref cpp:537-593 builds this by hand."""
-    return jnp.linalg.svd(A, full_matrices=True)
+    return svd3_jacobi(A)
 
 
 def enforce_rank2(E):
     """Project (...,3,3) onto the essential manifold's rank-2 cone by zeroing
     the smallest singular value (ref: cpp:595-607)."""
-    u, s, vt = jnp.linalg.svd(E, full_matrices=True)
+    u, s, vt = svd3_jacobi(E)
     s2 = s.at[..., 2].set(0.0)
     return (u * s2[..., None, :]) @ vt
 

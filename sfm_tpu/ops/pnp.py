@@ -17,7 +17,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from sfm_tpu.ops import lie
+from sfm_tpu.ops import lie, linalg
 
 _CUTOFF = 10.0
 
@@ -80,7 +80,7 @@ def refine_pose(R0, t0, X, obs, valid, iters: int = 10,
         H = jnp.einsum("mia,mib->ab", J, J)
         g = jnp.einsum("mia,mi->a", J, rw)
         H = H + jnp.diag(lam * jnp.maximum(jnp.diag(H), 1e-8) + 1e-10)
-        dx = -jnp.linalg.solve(H, g)
+        dx = -linalg.solve_psd_small(H, g, jitter=1e-12)
         dR = lie.so3_exp(dx[:3])
         R_try = dR @ R
         t_try = dR @ t + dx[3:]

@@ -12,7 +12,7 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-from sfm_tpu.ops import lie
+from sfm_tpu.ops import lie, linalg
 
 
 def umeyama(src, dst, with_scale: bool = True):
@@ -30,8 +30,8 @@ def umeyama(src, dst, with_scale: bool = True):
     xs = src - mu_s
     xd = dst - mu_d
     cov = (xd.T @ xs) / n  # (1/N) Σ yx^T, ref ate_keyframes.cpp:338-363
-    u, s, vt = jnp.linalg.svd(cov, full_matrices=True)
-    d = jnp.sign(jnp.linalg.det(u) * jnp.linalg.det(vt))
+    u, s, vt = linalg.svd3_jacobi(cov)
+    d = jnp.sign(linalg.det3(u) * linalg.det3(vt))
     D = jnp.diag(jnp.array([1.0, 1.0, 1.0], dtype=cov.dtype)).at[2, 2].set(d)
     R = u @ D @ vt
     var_s = jnp.sum(xs * xs) / n
