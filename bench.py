@@ -177,11 +177,9 @@ def run_ours(data_root: Path, frames: int = FRAMES, timed: bool = True):
     est = np.stack([kf.center for kf in sys_.kfs])
     gt = np.stack([ds.records[kf.frame_idx].center for kf in sys_.kfs])
     res = umeyama.ate(jnp.asarray(est), jnp.asarray(gt), with_scale=True)
-    ba_ms = [
-        1000.0 * m["dt"] for m in sys_.metrics if "ba_cost" in m
-    ]
     out_dir = BENCH_DIR / "tpu_out"
     sys_.export(out_dir, dataset=ds)
+    sys_.timers.dump(BENCH_DIR / "stage_timers.json")
     return {
         "wall_s": dt,
         "fps": frames / dt,
@@ -191,6 +189,7 @@ def run_ours(data_root: Path, frames: int = FRAMES, timed: bool = True):
         "ate_rmse_sim3": float(res["rmse"]),
         "ate_ratio_extent": float(res["rmse"])
         / float(np.linalg.norm(gt - gt.mean(0), axis=1).max()),
+        "stage_timers": sys_.timers.summary(),
     }
 
 

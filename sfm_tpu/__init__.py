@@ -18,10 +18,16 @@ import os
 
 # f64 support is required for the accuracy-critical reductions (Umeyama
 # alignment, pose-graph residual norms). Hot kernels pin f32 explicitly.
-if os.environ.get("SFM_TPU_X64", "1") == "1":
-    import jax
+import jax
 
+if os.environ.get("SFM_TPU_X64", "1") == "1":
     jax.config.update("jax_enable_x64", True)
+
+# TPU matmuls default to bfloat16 multiplications (8-bit mantissa) — fatal
+# for the geometric linear algebra in this framework (8-point systems,
+# Jacobi rotations, Schur complements). Force true f32 matmul arithmetic;
+# the matrices here are tiny so the extra passes are free.
+jax.config.update("jax_default_matmul_precision", "highest")
 
 __version__ = "0.1.0"
 
