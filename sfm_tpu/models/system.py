@@ -24,6 +24,7 @@ from sfm_tpu.models.mapstate import Edge, Keyframe, MapState
 from sfm_tpu.ops import (ba as ba_ops, descriptors, epipolar, features,
                          image as im, klt, lie, pnp as pnp_ops,
                          posegraph as pg_ops, triangulate)
+from sfm_tpu.utils import np_geom
 from sfm_tpu.utils.profiling import StageTimers
 
 log = logging.getLogger("sfm_tpu")
@@ -44,6 +45,13 @@ def _next_pow2(n: int, lo: int = 64) -> int:
 TRI_CAP = 1024
 PNP_CAP = 1024
 BA_OBS_CAP = 4096
+# global final BA caps: two coarse buckets (small for tests / short runs,
+# large for full sequences) so the warmup run compiles the same program as
+# the timed run
+def _gba_caps(n_kfs: int, n_pts: int, n_obs: int):
+    if n_kfs <= 8 and n_pts <= 1024 and n_obs <= 4096:
+        return 8, 1024, 4096
+    return 64, 16384, 32768
 
 
 @jax.jit
@@ -74,7 +82,10 @@ from functools import partial
 def _two_view_stage(key, K, pi, pj, valid, num_hypotheses: int,
                     sampson_thresh, min_inliers: int):
     """Per-frame relative pose + median parallax (ref py:900-913, 882-886;
-    cpp:1739, 1750-1759)."""
+    cpp:1739, 1750-1759). Returns ONE packed (16,) f32 vector —
+    [R(9), t(3), ok, num_inliers, parallax, n_alive] — so the host needs a
+    single device-to-host pull per call (each pull costs ~30ms over the
+    axon relay)."""
     Kd = K.astype(pi.dtype)
     xi = epipolar.normalize_by_K(Kd, pi)
     xj = epipolar.normalize_by_K(Kd, pj)
@@ -85,8 +96,82 @@ def _two_view_stage(key, K, pi, pj, valid, num_hypotheses: int,
         min_inliers=min_inliers,
     )
     flow = jnp.linalg.norm(pj - pi, axis=-1)
-    parallax = jnp.nanmedian(jnp.where(valid, flow, jnp.nan))
-    return rp, jnp.nan_to_num(parallax)
+    parallax = jnp.nan_to_num(jnp.nanmedian(jnp.where(valid, flow, jnp.nan)))
+    f32 = jnp.float32
+    return jnp.concatenate([
+        rp.R.reshape(9).astype(f32),
+        rp.t.astype(f32),
+        jnp.stack([
+            rp.ok.astype(f32),
+            rp.num_inliers.astype(f32),
+            parallax.astype(f32),
+            jnp.sum(valid).astype(f32),
+        ]),
+    ])
+
+
+class TwoView:
+    """Host-side view of the packed two-view result."""
+
+    __slots__ = ("R", "t", "ok", "num_inliers", "parallax", "n_alive")
+
+    def __init__(self, pack: np.ndarray):
+        pack = np.asarray(pack, np.float64)
+        self.R = pack[:9].reshape(3, 3)
+        self.t = pack[9:12]
+        self.ok = bool(pack[12] > 0.5)
+        self.num_inliers = int(pack[13])
+        self.parallax = float(pack[14])
+        self.n_alive = int(pack[15])
+
+
+@jax.jit
+def _pack_state(state):
+    """Track-table snapshot as ONE (T,4) f32 array: [x, y, id, valid]."""
+    return jnp.concatenate(
+        [
+            state.pos.astype(jnp.float32),
+            state.ids.astype(jnp.float32)[:, None],
+            state.valid.astype(jnp.float32)[:, None],
+        ],
+        axis=1,
+    )
+
+
+@jax.jit
+def _triangulate_packed(K, R_a, t_a, uv_a, R_b, t_b, uv_b, valid):
+    """_triangulate_stage with the (TRI_CAP,4) [X|ok] packed output."""
+    X, ok = _triangulate_stage(K, R_a, t_a, uv_a, R_b, t_b, uv_b, valid)
+    return jnp.concatenate(
+        [X.astype(jnp.float32), ok.astype(jnp.float32)[:, None]], axis=1
+    )
+
+
+@partial(jax.jit, static_argnames=("iters",))
+def _pnp_packed(R0, t0, X, obs, valid, iters: int, huber_delta):
+    R, t, info = pnp_ops.refine_pose(
+        R0, t0, X, obs, valid, iters=iters, huber_delta=huber_delta
+    )
+    f32 = jnp.float32
+    return jnp.concatenate([
+        R.reshape(9).astype(f32), t.astype(f32),
+        jnp.stack([info["inliers"].astype(f32), info["inlier_rms"].astype(f32)]),
+    ])
+
+
+@partial(jax.jit, static_argnames=("iters", "n_fix", "update_points"))
+def _ba_packed(prob, iters: int, lambda0, huber_delta, n_fix: int,
+               update_points: bool):
+    R, t, X, info = ba_ops.bundle_adjust(
+        prob, iters=iters, lambda0=lambda0, huber_delta=huber_delta,
+        n_fix=n_fix, update_points=update_points,
+    )
+    f32 = jnp.float32
+    return jnp.concatenate([
+        R.reshape(-1).astype(f32), t.reshape(-1).astype(f32),
+        X.reshape(-1).astype(f32),
+        jnp.stack([info["cost0"].astype(f32), info["cost"].astype(f32)]),
+    ])
 
 
 @jax.jit
@@ -145,7 +230,7 @@ class SfMSystem:
             self.prev_pyr = pyr
             self.prev_frame_idx = frame_idx
             self._add_keyframe(frame_idx, img_name, pyr)
-            met.update(keyframe=True, tracks=int(jnp.sum(self.state.valid)))
+            met.update(keyframe=True, tracks=int(self.cfg.klt.max_tracks))
             met["dt"] = time.perf_counter() - t0
             self.metrics.append(met)
             return met
@@ -155,7 +240,7 @@ class SfMSystem:
                 self.prev_pyr, pyr, self.state, cfg.klt
             )
         with self.timers.stage("two_view"):
-            rp, parallax = _two_view_stage(
+            pack = _two_view_stage(
                 self._next_key(),
                 self._Kj,
                 prev_pos.astype(jnp.float32),
@@ -165,18 +250,17 @@ class SfMSystem:
                 sampson_thresh=cfg.ransac.sampson_thresh,
                 min_inliers=cfg.ransac.min_inliers,
             )
-        ok = bool(rp.ok)
-        inliers = int(rp.num_inliers)
-        parallax = float(parallax)
+        tv = TwoView(pack)  # single D2H pull
+        ok = tv.ok
+        inliers = tv.num_inliers
+        parallax = tv.parallax
 
         force_kf = False
         if ok:
-            R_ji = np.asarray(rp.R, np.float64)
-            t_ji = np.asarray(rp.t, np.float64)
             scale = self._edge_scale(self.prev_frame_idx, frame_idx)
             # T_cw' = T_cw ∘ T_ji^{-1} (ref py:117-127), host-side 3x3 math
-            R_ij = R_ji.T
-            t_ij = -R_ji.T @ (t_ji * scale)
+            R_ij = tv.R.T
+            t_ij = -tv.R.T @ (tv.t * scale)
             self.pose_t = self.pose_R @ t_ij + self.pose_t
             self.pose_R = self.pose_R @ R_ij
         else:
@@ -201,7 +285,7 @@ class SfMSystem:
             keyframe=make_kf,
             inliers=inliers,
             parallax=parallax,
-            tracks=int(jnp.sum(self.state.valid)),
+            tracks=tv.n_alive,
             map_points=self.map.num_points,
             edges=len(self.edges),
         )
@@ -229,9 +313,10 @@ class SfMSystem:
     def _add_keyframe(self, frame_idx: int, img_name: str, pyr) -> None:
         """ref py:951-988 add_keyframe / cpp:1765-1871 keyframe block."""
         kf_id = len(self.kfs)
-        ids = np.asarray(self.state.ids).copy()
-        uv = np.asarray(self.state.pos, np.float64).copy()
-        valid = np.asarray(self.state.valid).copy()
+        snap = np.asarray(_pack_state(self.state), np.float64)  # one pull
+        uv = snap[:, :2]
+        ids = snap[:, 2].astype(np.int64)
+        valid = snap[:, 3] > 0.5
 
         if kf_id > 0:
             # estimate the odometry edge FIRST and anchor this keyframe's
@@ -329,7 +414,7 @@ class SfMSystem:
         shared = kf_i.valid & valid & (kf_i.ids == ids)
 
         def run_once():
-            return _two_view_stage(
+            return TwoView(_two_view_stage(
                 self._next_key(),
                 self._Kj,
                 jnp.asarray(kf_i.uv, jnp.float32),
@@ -338,35 +423,28 @@ class SfMSystem:
                 num_hypotheses=self.cfg.ransac.num_hypotheses,
                 sampson_thresh=self.cfg.ransac.sampson_thresh,
                 min_inliers=self.cfg.ransac.min_inliers,
-            )[0]
+            ))
 
         # chain relative pose (world→cam_j from the running per-frame pose)
         Rwj = self.pose_R.T
         R_chain = Rwj @ kf_i.R_cw
         t_chain = Rwj @ (kf_i.t_cw - self.pose_t)
 
-        def disagreement(rp):
-            dR = np.asarray(rp.R, np.float64).T @ R_chain
-            ang = np.linalg.norm(np.asarray(lie.so3_log(jnp.asarray(dR))))
-            da = np.rad2deg(ang)
-            tc = t_chain / max(np.linalg.norm(t_chain), 1e-12)
-            dt = np.rad2deg(
-                np.arccos(
-                    np.clip(abs(float(np.asarray(rp.t, np.float64) @ tc)), 0, 1)
-                )
-            )
+        def disagreement(R_est, t_est):
+            da = np_geom.rot_angle_deg(R_est, R_chain)
+            dt = np_geom.dir_angle_deg(t_est, t_chain)
             return max(da, dt)
 
         rp = run_once()
-        if bool(rp.ok) and disagreement(rp) > 5.0:
+        if rp.ok and disagreement(rp.R, rp.t) > 5.0:
             rp2 = run_once()
-            if bool(rp2.ok) and disagreement(rp2) < disagreement(rp):
+            if rp2.ok and disagreement(rp2.R, rp2.t) < disagreement(rp.R, rp.t):
                 rp = rp2
 
         kf_j_id = len(self.kfs)
-        if bool(rp.ok):
-            R_ji = np.asarray(rp.R, np.float64)
-            t_ji = np.asarray(rp.t, np.float64)
+        if rp.ok:
+            R_ji = rp.R
+            t_ji = rp.t
         else:
             # fall back to the per-frame composed relative pose
             R_ji = R_chain
@@ -377,7 +455,7 @@ class SfMSystem:
             if n > 1e-12:
                 t_ji = t_ji / n * scale
         return Edge(i=kf_i.kf_id, j=kf_j_id, R_ji=R_ji, t_ji=t_ji,
-                    inliers=int(rp.num_inliers), is_loop=False)
+                    inliers=rp.num_inliers, is_loop=False)
 
     def _pnp_refine_pose(self, ids, uv, valid) -> int:
         """Refine the running pose by robust 3D-2D GN against the map
@@ -402,18 +480,18 @@ class SfMSystem:
         X[:n] = np.stack(Xs)
         ob[:n] = np.stack(obs)
         v[:n] = True
-        xo = epipolar.normalize_by_K(jnp.asarray(self.K), jnp.asarray(ob))
-        R0 = jnp.asarray(self.pose_R.T)
-        t0 = jnp.asarray(-self.pose_R.T @ self.pose_t)
+        xo = jnp.asarray(np_geom.normalize_by_K(self.K, ob), jnp.float32)
+        R0 = jnp.asarray(self.pose_R.T, jnp.float32)
+        t0 = jnp.asarray(-self.pose_R.T @ self.pose_t, jnp.float32)
         fx = float(self.K[0, 0])
-        R_wc, t_wc, info = pnp_ops.refine_pose(
-            R0, t0, jnp.asarray(X), xo, jnp.asarray(v),
+        pack = np.asarray(_pnp_packed(
+            R0, t0, jnp.asarray(X, jnp.float32), xo, jnp.asarray(v),
             iters=10, huber_delta=self.cfg.ba.huber_delta / fx,
-        )
-        n_inl = int(info["inliers"])
+        ), np.float64)  # one pull
+        n_inl = int(pack[12])
         if n_inl >= 30:
-            R_wc = np.asarray(R_wc, np.float64)
-            t_wc = np.asarray(t_wc, np.float64)
+            R_wc = pack[:9].reshape(3, 3)
+            t_wc = pack[9:12]
             self.pose_R = R_wc.T
             self.pose_t = -R_wc.T @ t_wc
         return n_inl
@@ -508,14 +586,15 @@ class SfMSystem:
             first_kf_ids.append(fkf_id)
         R_b = np.broadcast_to(Rwj, (cap, 3, 3)).copy()
         t_b = np.broadcast_to(twj, (cap, 3)).copy()
-        X, ok = _triangulate_stage(
-            jnp.asarray(self.K),
-            jnp.asarray(R_a), jnp.asarray(t_a), jnp.asarray(uv_a),
-            jnp.asarray(R_b), jnp.asarray(t_b), jnp.asarray(uv_b),
+        f32 = jnp.float32
+        pack = np.asarray(_triangulate_packed(
+            jnp.asarray(self.K, f32),
+            jnp.asarray(R_a, f32), jnp.asarray(t_a, f32), jnp.asarray(uv_a, f32),
+            jnp.asarray(R_b, f32), jnp.asarray(t_b, f32), jnp.asarray(uv_b, f32),
             jnp.asarray(valid),
-        )
-        X = np.asarray(X, np.float64)
-        ok = np.asarray(ok)
+        ), np.float64)  # one pull
+        X = pack[:, :3]
+        ok = pack[:, 3] > 0.5
         for k, (tid, slot) in enumerate(zip(tri_tid, tri_a)):
             if not ok[k]:
                 continue
@@ -550,7 +629,8 @@ class SfMSystem:
         for old in cands:
             xy_i, d_i, v_i = old.orb
             idx, ok, _ = orb_ops.match_hamming(d_i, v_i, d_j, v_j)
-            n = int(jnp.sum(ok))
+            ok_np = np.asarray(ok)
+            n = int(ok_np.sum())
             if n >= lcfg.min_matches:
                 scored.append((n, old, idx, ok))
         scored.sort(key=lambda s: -s[0])
@@ -558,7 +638,7 @@ class SfMSystem:
             xy_i = old.orb[0]
             pi = np.asarray(xy_i)
             pj = np.asarray(xy_j)[np.asarray(idx)]
-            rp, _ = _two_view_stage(
+            rp = TwoView(_two_view_stage(
                 self._next_key(),
                 self._Kj,
                 jnp.asarray(pi, jnp.float32),
@@ -567,8 +647,8 @@ class SfMSystem:
                 num_hypotheses=lcfg.ransac_iters,
                 sampson_thresh=lcfg.ransac_thresh,
                 min_inliers=lcfg.min_inliers,
-            )
-            if bool(rp.ok) and int(rp.num_inliers) >= lcfg.min_inliers:
+            ))
+            if rp.ok and rp.num_inliers >= lcfg.min_inliers:
                 self._append_loop_edge(old, kf, rp)
                 return True
         return False
@@ -608,10 +688,10 @@ class SfMSystem:
             radius=self.cfg.klt.win_radius,
             fb_thresh=self.cfg.klt.fb_thresh,
         )
-        n_tracked = int(jnp.sum(ok))
-        if n_tracked < lcfg.min_tracked:
+        ok_np = np.asarray(ok)  # one pull
+        if int(ok_np.sum()) < lcfg.min_tracked:
             return False
-        rp, _ = _two_view_stage(
+        rp = TwoView(_two_view_stage(
             self._next_key(),
             self._Kj,
             xy.astype(jnp.float32),
@@ -620,26 +700,26 @@ class SfMSystem:
             num_hypotheses=lcfg.ransac_iters,
             sampson_thresh=lcfg.ransac_thresh,
             min_inliers=lcfg.min_inliers,
-        )
-        if not bool(rp.ok) or int(rp.num_inliers) < lcfg.min_inliers:
+        ))
+        if not rp.ok or rp.num_inliers < lcfg.min_inliers:
             return False
         self._append_loop_edge(old, kf, rp)
         return True
 
-    def _append_loop_edge(self, old: Keyframe, kf: Keyframe, rp) -> None:
-        t_ji = np.asarray(rp.t, np.float64)
+    def _append_loop_edge(self, old: Keyframe, kf: Keyframe, rp: "TwoView") -> None:
+        t_ji = rp.t.copy()
         if self.cfg.translation_mode != TranslationMode.FULL:
             n = np.linalg.norm(t_ji)
             if n > 1e-12:
                 t_ji = t_ji / n * self._edge_scale(old.frame_idx, kf.frame_idx)
         self.edges.append(
-            Edge(i=old.kf_id, j=kf.kf_id, R_ji=np.asarray(rp.R, np.float64),
-                 t_ji=t_ji, inliers=int(rp.num_inliers), is_loop=True,
+            Edge(i=old.kf_id, j=kf.kf_id, R_ji=rp.R.copy(),
+                 t_ji=t_ji, inliers=rp.num_inliers, is_loop=True,
                  w_rot=self.cfg.pose_graph.loop_weight,
                  w_trans=self.cfg.pose_graph.loop_weight)
         )
         log.info("loop closure %d -> %d (inliers %d)",
-                 old.kf_id, kf.kf_id, int(rp.num_inliers))
+                 old.kf_id, kf.kf_id, rp.num_inliers)
         if self.metrics:
             self.metrics[-1]["loop"] = (old.kf_id, kf.kf_id)
 
@@ -745,10 +825,7 @@ class SfMSystem:
             kf_map[kfid] = k
         cam_idx[:m] = kf_map[obs_kf[sel_idx]]
         pidx[:m] = pid_local[obs_pid[sel_idx]]
-        xo = epipolar.normalize_by_K(
-            jnp.asarray(self.K), jnp.asarray(obs_uv[sel_idx])
-        )
-        obs_n[:m] = np.asarray(xo)
+        obs_n[:m] = np_geom.normalize_by_K(self.K, obs_uv[sel_idx])
         ovalid[:m] = True
 
         X = np.zeros((P, 3))
@@ -777,22 +854,25 @@ class SfMSystem:
             point_valid=jnp.asarray(pvalid),
         )
         fx = float(self.K[0, 0])
-        R_new, t_new, X_new, info = ba_ops.bundle_adjust(
+        pack = np.asarray(_ba_packed(
             prob,
             iters=cfg.iters,
             lambda0=cfg.lambda0,
             huber_delta=cfg.huber_delta / fx,
             n_fix=1,
             update_points=cfg.update_points,
-        )
-        R_new = np.asarray(R_new, np.float64)
-        t_new = np.asarray(t_new, np.float64)
+        ), np.float64)  # one pull
+        o1 = Fp * 9
+        o2 = o1 + Fp * 3
+        o3 = o2 + P * 3
+        R_new = pack[:o1].reshape(Fp, 3, 3)
+        t_new = pack[o1:o2].reshape(Fp, 3)
         for k, kf in enumerate(win):
             # world->cam back to cam->world
             kf.R_cw = R_new[k].T
             kf.t_cw = -R_new[k].T @ t_new[k]
         if cfg.update_points:
-            X_new = np.asarray(X_new, np.float64)
+            X_new = pack[o2:o3].reshape(P, 3)
             xyz = self.map.xyz()
             xyz[pids_w] = X_new[: len(pids_w)]
             self.map.set_xyz(xyz)
@@ -801,8 +881,8 @@ class SfMSystem:
         self.pose_R = self.kfs[-1].R_cw.copy()
         self.pose_t = self.kfs[-1].t_cw.copy()
         if self.metrics:
-            self.metrics[-1]["ba_cost0"] = float(info["cost0"])
-            self.metrics[-1]["ba_cost"] = float(info["cost"])
+            self.metrics[-1]["ba_cost0"] = float(pack[o3])
+            self.metrics[-1]["ba_cost"] = float(pack[o3 + 1])
 
     # ------------------------------------------------------------------
     def finalize(self) -> None:
@@ -817,26 +897,33 @@ class SfMSystem:
         n_pts = self.map.num_points
         if n_pts < 10 or len(obs_kf) < 30:
             return
-        F = len(self.kfs)
-        P = _next_pow2(n_pts, lo=256)
-        m = len(obs_kf)
-        M = _next_pow2(m, lo=1024)
+        nF = len(self.kfs)
+        F, P, M = _gba_caps(nF, n_pts, len(obs_kf))
+        if nF > F:
+            log.warning("global BA skipped: %d keyframes > cap %d", nF, F)
+            return
+        n_pts = min(n_pts, P)
+        keep = (obs_pid < n_pts)
+        obs_kf, obs_pid, obs_uv = obs_kf[keep], obs_pid[keep], obs_uv[keep]
+        m = min(len(obs_kf), M)
         cam_idx = np.zeros(M, np.int32)
         pidx = np.zeros(M, np.int32)
         obs_n = np.zeros((M, 2))
         ovalid = np.zeros(M, bool)
-        cam_idx[:m] = obs_kf
-        pidx[:m] = obs_pid
-        obs_n[:m] = np.asarray(
-            epipolar.normalize_by_K(jnp.asarray(self.K), jnp.asarray(obs_uv))
-        )
+        cam_idx[:m] = obs_kf[:m]
+        pidx[:m] = obs_pid[:m]
+        obs_n[:m] = np_geom.normalize_by_K(self.K, obs_uv[:m])
         ovalid[:m] = True
         X = np.zeros((P, 3))
         pvalid = np.zeros(P, bool)
-        X[:n_pts] = self.map.xyz()
+        X[:n_pts] = self.map.xyz()[:n_pts]
         pvalid[:n_pts] = True
-        R_wc = np.stack([kf.pose_wc[0] for kf in self.kfs])
-        t_wc = np.stack([kf.pose_wc[1] for kf in self.kfs])
+        R_wc = np.stack(
+            [kf.pose_wc[0] for kf in self.kfs] + [np.eye(3)] * (F - nF)
+        )
+        t_wc = np.stack(
+            [kf.pose_wc[1] for kf in self.kfs] + [np.zeros(3)] * (F - nF)
+        )
         prob = ba_ops.BAProblem(
             R_wc=jnp.asarray(R_wc), t_wc=jnp.asarray(t_wc), X=jnp.asarray(X),
             cam_idx=jnp.asarray(cam_idx), pid_idx=jnp.asarray(pidx),
@@ -854,12 +941,14 @@ class SfMSystem:
         for k, kf in enumerate(self.kfs):
             kf.R_cw = R_new[k].T
             kf.t_cw = -R_new[k].T @ t_new[k]
-        xyz = np.asarray(X_new, np.float64)[:n_pts]
+        xyz_new = np.asarray(X_new, np.float64)[:n_pts]
+        xyz = self.map.xyz()
+        xyz[:n_pts] = xyz_new
         self.map.set_xyz(xyz)
         self.pose_R = self.kfs[-1].R_cw.copy()
         self.pose_t = self.kfs[-1].t_cw.copy()
         log.info("global BA: cost %.3e -> %.3e (%d kfs, %d pts, %d obs)",
-                 float(info["cost0"]), float(info["cost"]), F, n_pts, m)
+                 float(info["cost0"]), float(info["cost"]), nF, n_pts, m)
 
     # ------------------------------------------------------------------
     # artifact export (ref py:1546-1588 / cpp:1873-1906)
@@ -883,7 +972,7 @@ class SfMSystem:
         artifacts.write_csv_centers(out / "keyframes_camera_centers.csv", rows)
         edge_rows = []
         for e in self.edges:
-            rvec = np.asarray(lie.rvec_from_R(jnp.asarray(e.R_ji)), np.float64)
+            rvec = np_geom.so3_log(np.asarray(e.R_ji, np.float64))
             edge_rows.append(
                 dict(i=e.i, j=e.j, kind="loop" if e.is_loop else "odom",
                      rvec=rvec, t=e.t_ji)

@@ -1,0 +1,76 @@
+"""Host-side numpy geometry helpers.
+
+The orchestrator's bookkeeping math (pose composition, edge checks, CSV
+export) must NOT use eager jax ops: outside jit each primitive compiles
+as its own tiny XLA program (~0.4s each over the axon remote-compile
+tunnel) and varying shapes recompile every call. These are the numpy
+twins of ops/lie.py for host use only.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def so3_exp(w: np.ndarray) -> np.ndarray:
+    """Rodrigues (3,) -> (3,3), host numpy."""
+    theta = float(np.linalg.norm(w))
+    if theta < 1e-12:
+        W = hat(w)
+        return np.eye(3) + W
+    a = w / theta
+    W = hat(a)
+    return (
+        np.eye(3)
+        + np.sin(theta) * W
+        + (1.0 - np.cos(theta)) * (W @ W)
+    )
+
+
+def so3_log(R: np.ndarray) -> np.ndarray:
+    """(3,3) -> (3,), host numpy; robust near 0 and pi."""
+    tr = np.clip((np.trace(R) - 1.0) * 0.5, -1.0, 1.0)
+    theta = float(np.arccos(tr))
+    v = np.array([R[2, 1] - R[1, 2], R[0, 2] - R[2, 0], R[1, 0] - R[0, 1]])
+    if theta < 1e-9:
+        return 0.5 * v
+    s = np.sin(theta)
+    if abs(s) < 1e-6:
+        # near pi
+        B = (R + np.eye(3)) * 0.5
+        k = int(np.argmax(np.diag(B)))
+        axis = B[:, k]
+        axis = axis / max(np.linalg.norm(axis), 1e-30)
+        if np.dot(axis, v) < 0:
+            axis = -axis
+        return theta * axis
+    return (theta / (2.0 * s)) * v
+
+
+def hat(w: np.ndarray) -> np.ndarray:
+    return np.array(
+        [[0.0, -w[2], w[1]], [w[2], 0.0, -w[0]], [-w[1], w[0], 0.0]]
+    )
+
+
+def rot_angle_deg(Ra: np.ndarray, Rb: np.ndarray) -> float:
+    """Angle between two rotations in degrees."""
+    return float(np.rad2deg(np.linalg.norm(so3_log(Ra.T @ Rb))))
+
+
+def dir_angle_deg(a: np.ndarray, b: np.ndarray) -> float:
+    """Unsigned angle between directions (min vs ±b) in degrees."""
+    an = a / max(np.linalg.norm(a), 1e-30)
+    bn = b / max(np.linalg.norm(b), 1e-30)
+    return float(np.rad2deg(np.arccos(np.clip(abs(float(an @ bn)), 0.0, 1.0))))
+
+
+def normalize_by_K(K: np.ndarray, pts: np.ndarray) -> np.ndarray:
+    """Pixel -> K-normalized coords, host numpy (twin of
+    ops/epipolar.normalize_by_K)."""
+    fx, fy = K[0, 0], K[1, 1]
+    cx, cy = K[0, 2], K[1, 2]
+    s = K[0, 1]
+    y = (pts[..., 1] - cy) / fy
+    x = (pts[..., 0] - cx - s * y) / fx
+    return np.stack([x, y], axis=-1)
