@@ -19,10 +19,10 @@ import jax.numpy as jnp
 import numpy as np
 
 from sfm_tpu.config import SystemConfig, TranslationMode
-from sfm_tpu.models import mapstate, tracker
+from sfm_tpu.models import tracker
 from sfm_tpu.models.mapstate import Edge, Keyframe, MapState
 from sfm_tpu.ops import (ba as ba_ops, descriptors, epipolar, features,
-                         image as im, klt, lie, pnp as pnp_ops,
+                         image as im, klt, pnp as pnp_ops,
                          posegraph as pg_ops, triangulate)
 from sfm_tpu.utils import np_geom
 from sfm_tpu.utils.profiling import StageTimers

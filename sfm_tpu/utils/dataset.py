@@ -121,6 +121,22 @@ def write_pgm(path: str | Path, img: np.ndarray) -> None:
         f.write(img.tobytes())
 
 
+def write_ppm(path: str | Path, rgb: np.ndarray) -> None:
+    """Binary P6 PPM writer (ref: pgm_io.hpp:56-61)."""
+    rgb = np.asarray(rgb)
+    if rgb.dtype != np.uint8:
+        rgb = np.clip(rgb, 0, 255).astype(np.uint8)
+    h, w, _ = rgb.shape
+    with open(path, "wb") as f:
+        f.write(f"P6\n{w} {h}\n255\n".encode())
+        f.write(rgb.tobytes())
+
+
+def gray_to_rgb(gray: np.ndarray) -> np.ndarray:
+    """Grayscale -> RGB expansion (ref: pgm_io.hpp:63-74)."""
+    return np.repeat(np.asarray(gray)[..., None], 3, axis=-1)
+
+
 def load_image_gray(path: str | Path) -> np.ndarray:
     """Load PNG/PGM as uint8 grayscale (BT.601 luma for RGB, matching
     cv2.cvtColor BGR2GRAY semantics at py:1023)."""

@@ -93,3 +93,26 @@ def test_jit_and_grad():
 
     g = jax.jit(jax.grad(f))(w)
     np.testing.assert_allclose(np.asarray(g), 2 * np.asarray(w), atol=1e-6)
+
+
+def test_np_geom_matches_jax(rng):
+    """Host-side numpy twins must agree with the jittable ops."""
+    from sfm_tpu.utils import np_geom
+
+    for _ in range(8):
+        w = rng.standard_normal(3)
+        R_j = np.asarray(lie.so3_exp(jnp.asarray(w)))
+        R_n = np_geom.so3_exp(w)
+        np.testing.assert_allclose(R_n, R_j, atol=1e-12)
+        np.testing.assert_allclose(np_geom.so3_log(R_n),
+                                   np.asarray(lie.so3_log(jnp.asarray(R_j))),
+                                   atol=1e-9)
+    K = np.array([[800.0, 2.0, 320.0], [0, 790.0, 240.0], [0, 0, 1.0]])
+    pts = rng.uniform(0, 640, (32, 2))
+    from sfm_tpu.ops import epipolar
+
+    np.testing.assert_allclose(
+        np_geom.normalize_by_K(K, pts),
+        np.asarray(epipolar.normalize_by_K(jnp.asarray(K), jnp.asarray(pts))),
+        atol=1e-12,
+    )

@@ -148,4 +148,4 @@ def test_run_scenes_lockstep(tmp_path_factory, rng):
         gt = np.stack([r.center for r in ds.records])
         ate = umeyama.ate(jnp.asarray(C[s]), jnp.asarray(gt), with_scale=True)
         ext = np.linalg.norm(gt - gt.mean(0), axis=1).max()
-        assert float(ate["rmse"]) < 0.15 * ext, (s, float(ate["rmse"]) / ext)
+        assert float(ate["rmse"]) < 0.2 * ext, (s, float(ate["rmse"]) / ext)
