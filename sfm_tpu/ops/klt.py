@@ -7,10 +7,17 @@ normal equations over a (2r+1)² patch, forward+backward gating in
 ``step``; python/src/templering_sfm.py:426-450 via
 cv2.calcOpticalFlowPyrLK fwd+bwd with fb-error gate).
 
-Here every track runs simultaneously: patch gathers are one batched
-bilinear sample of shape (T, P), the 2x2 solves are closed-form over the
-track axis, and the iteration/level loops are unrolled statically (levels
-and iters are small compile-time constants).
+TPU design: point-gathers are pathological on TPU (the naive
+"(T,P) bilinear gathers per iteration" formulation costs seconds per
+frame), so each track instead loads ONE contiguous window per pyramid
+level (a batched ``dynamic_slice``), and every LK iteration runs as pure
+VPU window algebra: bilinear interpolation with a per-track fractional
+offset is four shifted multiplies of the window, and the image gradients
+are ±1 shifted slices of the same window — zero gathers in the iteration
+loop. The window margin bounds the per-level search range (like the
+reference's window radius bounds its convergence basin); flows that
+drift outside are clamped by the slice and rejected by the
+forward-backward gate.
 """
 
 from __future__ import annotations
@@ -22,28 +29,90 @@ import jax.numpy as jnp
 
 from sfm_tpu.ops import image as im
 
+MARGIN = 6  # per-level search margin in px beyond the patch
 
-def _lk_level(img0, img1, g1x, g1y, p0_l, v, offsets, iters: int, min_det: float):
+
+def _bil_patch(block, fx, fy, P: int, ox: int, oy: int):
+    """(...,P,P) bilinear patch from (...,P+3,P+3) blocks at static pixel
+    offset (ox,oy) ∈ {-1,0,1} and per-item fractional offsets fx/fy."""
+    y0 = 1 + oy
+    x0 = 1 + ox
+    w00 = block[..., y0 : y0 + P, x0 : x0 + P]
+    w01 = block[..., y0 : y0 + P, x0 + 1 : x0 + P + 1]
+    w10 = block[..., y0 + 1 : y0 + P + 1, x0 : x0 + P]
+    w11 = block[..., y0 + 1 : y0 + P + 1, x0 + 1 : x0 + P + 1]
+    fx = fx[..., None, None]
+    fy = fy[..., None, None]
+    return (
+        w00 * (1.0 - fx) * (1.0 - fy)
+        + w01 * fx * (1.0 - fy)
+        + w10 * (1.0 - fx) * fy
+        + w11 * fx * fy
+    )
+
+
+def _load_blocks(img, origins, P: int, margin: int):
+    """One contiguous square block per track around each float patch
+    origin. Returns (blocks (T,WIN,WIN), anchors (T,2) float top-left)."""
+    WIN = P + 2 * margin + 3  # +1 bilinear, +2 gradient shifts
+    H, W = img.shape
+    start = jnp.floor(origins) - (margin + 1)
+    start = jnp.clip(start, 0.0, jnp.array([W - WIN, H - WIN], origins.dtype))
+    starts = start.astype(jnp.int32)
+
+    def slice_one(s):
+        return jax.lax.dynamic_slice(img, (s[1], s[0]), (WIN, WIN))
+
+    return jax.vmap(slice_one)(starts), start
+
+
+def _patch(blocks, anchors, origins, P: int, ox: int = 0, oy: int = 0):
+    """(T,P,P) bilinear patches at float ``origins`` (+static offset) from
+    pre-loaded blocks — a batched (P+3,P+3) sub-slice plus shifted
+    multiplies; no point gathers."""
+    WIN = blocks.shape[-1]
+    q = origins - anchors
+    qi = jnp.clip(jnp.floor(q), 1.0, WIN - P - 2.0)
+    f = q - qi
+    qii = qi.astype(jnp.int32)
+    sub = jax.vmap(
+        lambda b, s: jax.lax.dynamic_slice(b, (s[1], s[0]), (P + 3, P + 3))
+    )(blocks, qii - 1)
+    return _bil_patch(sub, f[:, 0], f[:, 1], P, ox, oy), sub, f
+
+
+def _lk_level(img0, img1, p0_l, v, iters: int, radius: int, min_det: float,
+              margin: int = MARGIN):
     """Run ``iters`` LK updates at one pyramid level for all tracks.
 
     p0_l: (T,2) template positions at this level; v: (T,2) current flow.
     Returns updated flow v.
     """
-    # template patch is fixed per level: sample once
-    tmpl = im.bilinear(img0, p0_l[:, None, :] + offsets[None])  # (T,P)
+    P = 2 * radius + 1
+
+    # template: fixed patch from img0 (no search margin)
+    blk0, a0 = _load_blocks(img0, p0_l - radius, P, margin=0)
+    tmpl, _, _ = _patch(blk0, a0, p0_l - radius, P)
+
+    # target: one block per track with the search margin, loaded once
+    blk1, a1 = _load_blocks(img1, p0_l + v - radius, P, margin=margin)
 
     def body(_, v):
-        q = p0_l + v
-        coords = q[:, None, :] + offsets[None]
-        cur = im.bilinear(img1, coords)
-        gx = im.bilinear(g1x, coords)
-        gy = im.bilinear(g1y, coords)
+        origins = p0_l + v - radius
+        cur, sub, f = _patch(blk1, a1, origins, P)
+        fx, fy = f[:, 0], f[:, 1]
+        gx = 0.5 * (
+            _bil_patch(sub, fx, fy, P, 1, 0) - _bil_patch(sub, fx, fy, P, -1, 0)
+        )
+        gy = 0.5 * (
+            _bil_patch(sub, fx, fy, P, 0, 1) - _bil_patch(sub, fx, fy, P, 0, -1)
+        )
         r = tmpl - cur
-        gxx = jnp.sum(gx * gx, axis=-1)
-        gxy = jnp.sum(gx * gy, axis=-1)
-        gyy = jnp.sum(gy * gy, axis=-1)
-        bx = jnp.sum(gx * r, axis=-1)
-        by = jnp.sum(gy * r, axis=-1)
+        gxx = jnp.sum(gx * gx, axis=(-2, -1))
+        gxy = jnp.sum(gx * gy, axis=(-2, -1))
+        gyy = jnp.sum(gy * gy, axis=(-2, -1))
+        bx = jnp.sum(gx * r, axis=(-2, -1))
+        by = jnp.sum(gy * r, axis=(-2, -1))
         det = gxx * gyy - gxy * gxy
         inv_det = jnp.where(jnp.abs(det) > min_det, 1.0 / det, 0.0)
         dvx = (gyy * bx - gxy * by) * inv_det
@@ -60,14 +129,11 @@ def lk_track(pyr0, pyr1, pts, valid, levels: int, iters: int, radius: int,
 
     Returns (new_pts (T,2), ok (T,) bool). ref: cpp:402-460 coarse-to-fine.
     """
-    offsets = im.patch_grid(radius, pts.dtype)
-    grads = [im.gradients(p) for p in pyr1]
     v = jnp.zeros_like(pts)
     for L in range(levels - 1, -1, -1):
         scale = float(2**L)
         p0_l = pts / scale
-        v = _lk_level(pyr0[L], pyr1[L], grads[L][0], grads[L][1],
-                      p0_l, v, offsets, iters, min_det)
+        v = _lk_level(pyr0[L], pyr1[L], p0_l, v, iters, radius, min_det)
         if L > 0:
             v = v * 2.0
     new_pts = pts + v

@@ -38,8 +38,7 @@ def test_lk_pallas_matches_xla(rng):
     v0 = jnp.zeros((T, 2), jnp.float32)
     v_ref = klt._lk_level(
         jnp.asarray(img0), jnp.asarray(img1),
-        *im.gradients(jnp.asarray(img1)),
-        jnp.asarray(pts), v0, im.patch_grid(5, jnp.float32), 10, 1e-4,
+        jnp.asarray(pts), v0, 10, 5, 1e-4,
     )
     v_pal = lk_kernel.lk_level_pallas(
         jnp.asarray(img0), jnp.asarray(img1), jnp.asarray(pts), v0,
