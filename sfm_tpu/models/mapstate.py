@@ -76,13 +76,43 @@ class MapState:
         self.obs_kf: list[int] = []
         self.obs_pid: list[int] = []
         self.obs_uv: list[np.ndarray] = []
+        # vectorized tid -> pid lookup (python dict loops over thousands of
+        # tracks cost ~100ms per keyframe on the host path)
+        self._pid_of_tid = np.full(4096, -1, np.int64)
+
+    def _ensure_tid(self, tid: int) -> None:
+        if tid >= len(self._pid_of_tid):
+            n = len(self._pid_of_tid)
+            while n <= tid:
+                n *= 2
+            grown = np.full(n, -1, np.int64)
+            grown[: len(self._pid_of_tid)] = self._pid_of_tid
+            self._pid_of_tid = grown
+
+    def pids_for(self, tids: np.ndarray) -> np.ndarray:
+        """Vectorized tid -> pid (-1 when unmapped / invalid tid)."""
+        tids = np.asarray(tids, np.int64)
+        safe = np.clip(tids, 0, len(self._pid_of_tid) - 1)
+        out = self._pid_of_tid[safe]
+        out[(tids < 0) | (tids >= len(self._pid_of_tid))] = -1
+        return out
 
     def add_point(self, tid: int, Xw: np.ndarray) -> int:
         pid = len(self.points)
         self.points.append(np.asarray(Xw, np.float64))
         self.point_tid.append(tid)
         self.tid2pid[tid] = pid
+        self._ensure_tid(tid)
+        self._pid_of_tid[tid] = pid
         return pid
+
+    def rebuild_lookup(self) -> None:
+        """Recompute the vectorized tid->pid table from point_tid (used by
+        checkpoint restore)."""
+        self._pid_of_tid = np.full(4096, -1, np.int64)
+        for pid, tid in enumerate(self.point_tid):
+            self._ensure_tid(int(tid))
+            self._pid_of_tid[int(tid)] = pid
 
     def add_obs(self, kf_id: int, pid: int, uv: np.ndarray) -> None:
         self.obs_kf.append(kf_id)

@@ -460,25 +460,20 @@ class SfMSystem:
     def _pnp_refine_pose(self, ids, uv, valid) -> int:
         """Refine the running pose by robust 3D-2D GN against the map
         (ops/pnp.py). Returns the inlier count (0 if too few points)."""
-        slots = np.nonzero(valid)[0]
-        Xs, obs = [], []
-        for slot in slots:
-            pid = self.map.tid2pid.get(int(ids[slot]))
-            if pid is not None:
-                Xs.append(self.map.points[pid])
-                obs.append(uv[slot])
-        if len(Xs) < 30:
+        pids = self.map.pids_for(ids)
+        sel = valid & (pids >= 0)
+        n = int(sel.sum())
+        if n < 30:
             return 0
-        if len(Xs) > PNP_CAP:
-            Xs = Xs[:PNP_CAP]
-            obs = obs[:PNP_CAP]
-        n = len(Xs)
+        xyz = self.map.xyz()
+        sel_idx = np.nonzero(sel)[0][:PNP_CAP]
+        n = len(sel_idx)
         cap = PNP_CAP
         X = np.zeros((cap, 3))
         ob = np.zeros((cap, 2))
         v = np.zeros(cap, bool)
-        X[:n] = np.stack(Xs)
-        ob[:n] = np.stack(obs)
+        X[:n] = xyz[pids[sel_idx]]
+        ob[:n] = uv[sel_idx]
         v[:n] = True
         xo = jnp.asarray(np_geom.normalize_by_K(self.K, ob), jnp.float32)
         R0 = jnp.asarray(self.pose_R.T, jnp.float32)
@@ -509,27 +504,25 @@ class SfMSystem:
             return 1.0  # edge.t_ji already carries the GT baseline length
         Rwi, twi = prev.pose_wc
         t_u = edge.t_ji / max(np.linalg.norm(edge.t_ji), 1e-12)
-        slots = np.nonzero(valid)[0]
-        sols = []
-        fx, fy = self.K[0, 0], self.K[1, 1]
-        cx, cy = self.K[0, 2], self.K[1, 2]
-        for slot in slots:
-            pid = self.map.tid2pid.get(int(ids[slot]))
-            if pid is None:
-                continue
-            X = self.map.points[pid]
-            Xi = Rwi @ X + twi
-            if Xi[2] <= 1e-6:
-                continue
-            w = edge.R_ji @ Xi
-            xj = np.array([(uv[slot, 0] - cx) / fx, (uv[slot, 1] - cy) / fy])
-            a = t_u[:2] - xj * t_u[2]
-            b = xj * w[2] - w[:2]
-            den = float(a @ a)
-            if den > 1e-10:
-                sols.append(float(a @ b) / den)
-        if len(sols) < 5:
+        pids = self.map.pids_for(ids)
+        sel = valid & (pids >= 0)
+        if int(sel.sum()) < 5:
             return 1.0
+        X = self.map.xyz()[pids[sel]]
+        Xi = X @ Rwi.T + twi  # (N,3) in the previous camera
+        front = Xi[:, 2] > 1e-6
+        if int(front.sum()) < 5:
+            return 1.0
+        Xi = Xi[front]
+        w = Xi @ edge.R_ji.T
+        xj = np_geom.normalize_by_K(self.K, uv[sel][front])
+        a = t_u[None, :2] - xj * t_u[2]
+        b = xj * w[:, 2:3] - w[:, :2]
+        den = np.einsum("ni,ni->n", a, a)
+        good = den > 1e-10
+        if int(good.sum()) < 5:
+            return 1.0
+        sols = np.einsum("ni,ni->n", a[good], b[good]) / den[good]
         s = float(np.median(sols))
         return s if s > 1e-6 else 1.0
 
@@ -545,19 +538,20 @@ class SfMSystem:
     def _update_map(self, kf: Keyframe) -> None:
         """Record observations; triangulate tracks first seen in an earlier
         keyframe (ref py:935-975, first-vs-last obs)."""
-        alive = np.nonzero(kf.valid)[0]
+        pids = self.map.pids_for(kf.ids)
+        mapped = kf.valid & (pids >= 0)
+        # record observations for already-mapped tracks (vectorized append)
+        for slot in np.nonzero(mapped)[0]:
+            self.map.add_obs(kf.kf_id, int(pids[slot]), kf.uv[slot])
+        rest = np.nonzero(kf.valid & (pids < 0))[0]
         tri_tid, tri_a = [], []
-        for slot in alive:
+        for slot in rest:
             tid = int(kf.ids[slot])
-            uv = kf.uv[slot]
-            pid = self.map.tid2pid.get(tid)
-            if pid is not None:
-                self.map.add_obs(kf.kf_id, pid, uv)
-            elif tid in self.first_obs:
+            if tid in self.first_obs:
                 tri_tid.append(tid)
                 tri_a.append(slot)
             else:
-                self.first_obs[tid] = (kf.kf_id, uv.copy())
+                self.first_obs[tid] = (kf.kf_id, kf.uv[slot].copy())
 
         if not tri_tid:
             return

@@ -68,16 +68,27 @@ def _load_blocks(img, origins, P: int, margin: int):
 
 def _patch(blocks, anchors, origins, P: int, ox: int = 0, oy: int = 0):
     """(T,P,P) bilinear patches at float ``origins`` (+static offset) from
-    pre-loaded blocks — a batched (P+3,P+3) sub-slice plus shifted
-    multiplies; no point gathers."""
+    pre-loaded blocks.
+
+    The (P+3,P+3) sub-window at a per-track integer offset is extracted
+    with two one-hot matmuls instead of a batched dynamic-slice: gathers
+    are the slowest primitive on TPU while batched small matmuls ride the
+    MXU — this keeps the entire LK iteration loop gather-free."""
     WIN = blocks.shape[-1]
+    S = P + 3
+    dtype = blocks.dtype
     q = origins - anchors
     qi = jnp.clip(jnp.floor(q), 1.0, WIN - P - 2.0)
     f = q - qi
-    qii = qi.astype(jnp.int32)
-    sub = jax.vmap(
-        lambda b, s: jax.lax.dynamic_slice(b, (s[1], s[0]), (P + 3, P + 3))
-    )(blocks, qii - 1)
+    qii = qi.astype(jnp.int32) - 1  # sub-window origin inside the block
+
+    cols = jax.lax.broadcasted_iota(jnp.int32, (1, S, WIN), 2)
+    rows_y = jax.lax.broadcasted_iota(jnp.int32, (1, S, 1), 1) + qii[:, 1][:, None, None]
+    Sy = (cols == rows_y).astype(dtype)  # (T,S,WIN) one-hot row selector
+    rows_x = jax.lax.broadcasted_iota(jnp.int32, (1, S, 1), 1) + qii[:, 0][:, None, None]
+    Sx = (cols == rows_x).astype(dtype)  # (T,S,WIN) one-hot col selector
+    sub_rows = jnp.einsum("tiw,twv->tiv", Sy, blocks)  # (T,S,WIN)
+    sub = jnp.einsum("tiv,tjv->tij", sub_rows, Sx)  # (T,S,S)
     return _bil_patch(sub, f[:, 0], f[:, 1], P, ox, oy), sub, f
 
 

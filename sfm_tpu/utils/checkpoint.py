@@ -110,6 +110,7 @@ def load_checkpoint(system, path: str | Path) -> None:
     m.points = [p for p in z["points"]]
     m.point_tid = list(meta["point_tid"])
     m.tid2pid = {int(t): i for i, t in enumerate(m.point_tid)}
+    m.rebuild_lookup()
     m.obs_kf = list(z["obs_kf"])
     m.obs_pid = list(z["obs_pid"])
     m.obs_uv = [u for u in z["obs_uv"]]
