@@ -139,6 +139,15 @@ def _pack_state(state):
 
 
 @jax.jit
+def _snapshot_stage(state, img):
+    """Keyframe snapshot + 32x32 global descriptor in ONE packed pull:
+    (T*4 + 1024,) f32."""
+    snap = _pack_state(state)
+    desc = descriptors.global_desc_32(img)
+    return jnp.concatenate([snap.reshape(-1), desc.astype(jnp.float32)])
+
+
+@jax.jit
 def _triangulate_packed(K, R_a, t_a, uv_a, R_b, t_b, uv_b, valid):
     """_triangulate_stage with the (TRI_CAP,4) [X|ok] packed output."""
     X, ok = _triangulate_stage(K, R_a, t_a, uv_a, R_b, t_b, uv_b, valid)
@@ -313,7 +322,10 @@ class SfMSystem:
     def _add_keyframe(self, frame_idx: int, img_name: str, pyr) -> None:
         """ref py:951-988 add_keyframe / cpp:1765-1871 keyframe block."""
         kf_id = len(self.kfs)
-        snap = np.asarray(_pack_state(self.state), np.float64)  # one pull
+        T = self.cfg.klt.max_tracks
+        packed = np.asarray(_snapshot_stage(self.state, pyr[0]), np.float64)
+        snap = packed[: T * 4].reshape(T, 4)
+        desc = packed[T * 4 :]
         uv = snap[:, :2]
         ids = snap[:, 2].astype(np.int64)
         valid = snap[:, 3] > 0.5
@@ -363,7 +375,7 @@ class SfMSystem:
             ids=ids,
             uv=uv,
             valid=valid,
-            desc=np.asarray(descriptors.global_desc_32(pyr[0])),
+            desc=desc,
             pyr=pyr,
         )
         if self.cfg.loop.enabled and self.cfg.loop.method == "orb":

@@ -134,6 +134,28 @@ def _linearize(p: BAProblem, huber_delta: float):
 
     cam = p.cam_idx
     pid = p.pid_idx
+    if F * P <= 8192:
+        # Block assembly as one-hot matmuls instead of segment_sum:
+        # scatters are among the slowest TPU primitives while these
+        # reductions are small MXU matmuls (F and P are static).
+        dtype = r.dtype
+        oc = (
+            jax.lax.broadcasted_iota(jnp.int32, (F, 1), 0) == cam[None, :]
+        ).astype(dtype)  # (F,M)
+        op_ = (
+            jax.lax.broadcasted_iota(jnp.int32, (P, 1), 0) == pid[None, :]
+        ).astype(dtype)  # (P,M)
+        Hcc = jnp.einsum("fm,mab->fab", oc, Hcc_m)
+        bc = jnp.einsum("fm,ma->fa", oc, bc_m)
+        Hpp = jnp.einsum("pm,mab->pab", op_, Hpp_m)
+        bp = jnp.einsum("pm,ma->pa", op_, bp_m)
+        # W[f,p] = Σ_{m: cam=f, pid=p} W_m: mask by camera, reduce by point
+        Wc = oc[:, :, None, None] * W_m[None]  # (F,M,6,3)
+        W = jnp.einsum("pm,fmab->fpab", op_, Wc)
+        return Hcc, bc, Hpp, bp, W
+    # large problems (global final BA): the one-hot mask would cost
+    # O(F*P*M) — fall back to segment_sum (one scatter per LM iteration
+    # on a once-per-run path)
     Hcc = jax.ops.segment_sum(Hcc_m, cam, num_segments=F)
     bc = jax.ops.segment_sum(bc_m, cam, num_segments=F)
     Hpp = jax.ops.segment_sum(Hpp_m, pid, num_segments=P)
