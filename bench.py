@@ -200,6 +200,12 @@ def main():
     # so the timed run below hits the compile cache)
     run_ours(data_root, frames=min(12, FRAMES))
     ours = run_ours(data_root)
+    timers = ours.get("stage_timers", {})
+    ba = timers.get("local_ba", {})
+    ba_iters_per_sec = None
+    if ba.get("total_s"):
+        # each local-BA call runs cfg.ba.iters LM iterations (default 5)
+        ba_iters_per_sec = round(5.0 * ba["count"] / ba["total_s"], 1)
     line = {
         "metric": "frames_per_sec_47img_templering",
         "value": round(ours["fps"], 3),
@@ -210,6 +216,7 @@ def main():
         "tpu_wall_s": round(ours["wall_s"], 3),
         "ate_rmse_sim3": ours["ate_rmse_sim3"],
         "ate_ratio_extent": round(ours["ate_ratio_extent"], 5),
+        "ba_iters_per_sec": ba_iters_per_sec,
         "keyframes": ours["keyframes"],
         "map_points": ours["map_points"],
         "edges": ours["edges"],
