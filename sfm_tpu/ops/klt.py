@@ -163,7 +163,11 @@ def lk_track(pyr0, pyr1, pts, valid, levels: int, iters: int, radius: int,
 def lk_track_fb(pyr0, pyr1, pts, valid, levels: int, iters: int, radius: int,
                 fb_thresh: float = 1.0):
     """Forward-backward LK with fb-error gating (ref: cpp:356-367 /
-    py:436-450). Returns (new_pts, ok)."""
+    py:436-450). Returns (new_pts, ok).
+
+    The backward pass re-tracks from scratch (full pyramid): a forward
+    match stuck in a false minimum would trivially pass a check that is
+    merely initialized at the negative forward flow."""
     fwd, ok_f = lk_track(pyr0, pyr1, pts, valid, levels, iters, radius)
     back, ok_b = lk_track(pyr1, pyr0, fwd, ok_f, levels, iters, radius)
     fb = jnp.linalg.norm(back - pts, axis=-1)
