@@ -53,17 +53,26 @@ def _bil_patch(block, fx, fy, P: int, ox: int, oy: int):
 
 def _load_blocks(img, origins, P: int, margin: int):
     """One contiguous square block per track around each float patch
-    origin. Returns (blocks (T,WIN,WIN), anchors (T,2) float top-left)."""
+    origin. Returns (blocks (T,WIN,WIN), anchors (T,2) float top-left).
+
+    TPU note: 2D block gathers (vmapped dynamic_slice) are slow; instead
+    gather whole ROWS (contiguous lines, the fast gather case) and
+    extract the column window with a one-hot matmul on the MXU."""
     WIN = P + 2 * margin + 3  # +1 bilinear, +2 gradient shifts
     H, W = img.shape
     start = jnp.floor(origins) - (margin + 1)
     start = jnp.clip(start, 0.0, jnp.array([W - WIN, H - WIN], origins.dtype))
     starts = start.astype(jnp.int32)
 
-    def slice_one(s):
-        return jax.lax.dynamic_slice(img, (s[1], s[0]), (WIN, WIN))
-
-    return jax.vmap(slice_one)(starts), start
+    row_idx = starts[:, 1:2] + jnp.arange(WIN, dtype=jnp.int32)[None]  # (T,WIN)
+    strips = jnp.take(img, row_idx, axis=0)  # (T,WIN,W) row gather
+    cols = jax.lax.broadcasted_iota(jnp.int32, (1, W, WIN), 1)
+    sel = starts[:, 0][:, None, None] + jax.lax.broadcasted_iota(
+        jnp.int32, (1, W, WIN), 2
+    )
+    Sx = (cols == sel).astype(img.dtype)  # (T,W,WIN) one-hot column picker
+    blocks = jnp.einsum("tiw,twj->tij", strips, Sx)
+    return blocks, start
 
 
 def _patch(blocks, anchors, origins, P: int, ox: int = 0, oy: int = 0):
