@@ -168,6 +168,109 @@ def _pnp_packed(R0, t0, X, obs, valid, iters: int, huber_delta):
     ])
 
 
+@partial(
+    jax.jit,
+    static_argnames=("num_hypotheses", "min_inliers", "pnp_iters"),
+)
+def _keyframe_fused_stage(
+    key, K,
+    prev_uv, prev_shared,
+    cur_uv,
+    R_chain_rel, t_chain_rel,
+    R_wc_i, t_wc_i,
+    pnp_X, pnp_uv, pnp_valid,
+    tri_Ra, tri_ta, tri_uva, tri_uvb, tri_valid,
+    fixed_scale,
+    num_hypotheses: int, sampson_thresh, min_inliers: int,
+    pnp_iters: int, pnp_huber,
+):
+    """The whole keyframe geometry in ONE device program + ONE pull:
+
+      1. odometry-edge LO-RANSAC between the keyframe snapshots
+         (ref cpp:1782-1798), chain fallback when it fails;
+      2. monocular scale propagation from mapped points (1-dof robust LS);
+      3. PnP pose refinement against the map (ops/pnp.py), anchored on the
+         scaled edge;
+      4. the final relative edge re-derived from the refined poses;
+      5. first-vs-last DLT triangulation of new tracks with the refined
+         pose (ref py:935-949).
+
+    Everything returns as one packed f32 vector (device→host pulls cost
+    ~30ms each on the axon relay — this replaces four of them)."""
+    f32 = jnp.float32
+    Kd = K.astype(f32)
+    xi = epipolar.normalize_by_K(Kd, prev_uv)
+    xj = epipolar.normalize_by_K(Kd, cur_uv)
+    rp = epipolar.find_E_ransac(
+        key, xi, xj, prev_shared,
+        num_hypotheses=num_hypotheses,
+        sampson_thresh=sampson_thresh,
+        min_inliers=min_inliers,
+    )
+    t_chain_u = t_chain_rel / (jnp.linalg.norm(t_chain_rel) + 1e-12)
+    R_e = jnp.where(rp.ok, rp.R, R_chain_rel)
+    t_eu = jnp.where(rp.ok, rp.t, t_chain_u)
+
+    # --- scale propagation (vectorized twin of the old host loop) -----
+    Xi = pnp_X @ R_wc_i.T + t_wc_i  # map points in the previous camera
+    xjn = epipolar.normalize_by_K(Kd, pnp_uv)
+    w3 = Xi @ R_e.T
+    a = t_eu[None, :2] - xjn * t_eu[2]
+    b = xjn * w3[:, 2:3] - w3[:, :2]
+    den = jnp.sum(a * a, axis=-1)
+    good = pnp_valid & (Xi[:, 2] > 1e-6) & (den > 1e-10)
+    sols = jnp.sum(a * b, axis=-1) / jnp.where(den > 1e-10, den, 1.0)
+    s_est = jnp.nan_to_num(
+        jnp.nanmedian(jnp.where(good, sols, jnp.nan)), nan=1.0
+    )
+    enough = jnp.sum(good) >= 5
+    s_map = jnp.where(enough & (s_est > 1e-6), s_est, 1.0)
+    s_map = jnp.where(fixed_scale > 0.0, fixed_scale, s_map)
+
+    # --- anchored pose (world→cam_j) ----------------------------------
+    R_a = R_e @ R_wc_i
+    t_a = R_e @ t_wc_i + s_map * t_eu
+
+    # --- PnP refinement ------------------------------------------------
+    R_p, t_p, info = pnp_ops.refine_pose(
+        R_a, t_a, pnp_X, xjn, pnp_valid, iters=pnp_iters,
+        huber_delta=pnp_huber,
+    )
+    use_pnp = info["inliers"] >= 30
+    R_f = jnp.where(use_pnp, R_p, R_a)
+    t_f = jnp.where(use_pnp, t_p, t_a)
+
+    # --- final edge from the refined poses -----------------------------
+    R_ji = R_f @ R_wc_i.T
+    t_ji = t_f - R_ji @ t_wc_i
+
+    # --- triangulation with the refined pose ---------------------------
+    xa = epipolar.normalize_by_K(Kd, tri_uva)
+    xb = epipolar.normalize_by_K(Kd, tri_uvb)
+    n_tri = tri_Ra.shape[0]
+    Rb = jnp.broadcast_to(R_f, (n_tri, 3, 3))
+    tb = jnp.broadcast_to(t_f, (n_tri, 3))
+    X, za, zb = triangulate.triangulate_dlt(tri_Ra, tri_ta, xa, Rb, tb, xb)
+    err_a = triangulate.reprojection_error(tri_Ra, tri_ta, X, xa)
+    err_b = triangulate.reprojection_error(Rb, tb, X, xb)
+    ok_tri = (
+        tri_valid & (za > 1e-6) & (zb > 1e-6) & (err_a < 0.01) & (err_b < 0.01)
+    )
+
+    return jnp.concatenate([
+        R_f.reshape(9).astype(f32), t_f.astype(f32),
+        R_ji.reshape(9).astype(f32), t_ji.astype(f32),
+        jnp.stack([
+            s_map.astype(f32),
+            rp.ok.astype(f32),
+            rp.num_inliers.astype(f32),
+            info["inliers"].astype(f32),
+        ]),
+        X.reshape(-1).astype(f32),
+        ok_tri.astype(f32),
+    ])
+
+
 @partial(jax.jit, static_argnames=("iters", "n_fix", "update_points"))
 def _ba_packed(prob, iters: int, lambda0, huber_delta, n_fix: int,
                update_points: bool):
@@ -330,41 +433,13 @@ class SfMSystem:
         ids = snap[:, 2].astype(np.int64)
         valid = snap[:, 3] > 0.5
 
+        tri_meta: list[tuple[int, int]] = []  # (tid, slot) of triangulations
+        tri_results = None
         if kf_id > 0:
-            # estimate the odometry edge FIRST and anchor this keyframe's
-            # pose on it: the keyframe-to-keyframe estimate has more
-            # parallax than the per-frame chain, so deriving the pose from
-            # the edge stops per-frame direction noise from accumulating
             prev = self.kfs[-1]
-            edge = self._estimate_edge(prev, ids, uv, valid, frame_idx)
-            self.edges.append(edge)
-            # monocular scale propagation: the edge direction comes from
-            # the essential matrix (unit norm); its length is re-estimated
-            # from already-triangulated map points visible in this frame
-            # so the trajectory stays at one consistent scale across
-            # sliding BA windows
-            s_map = self._propagate_scale(prev, ids, uv, valid, edge)
-            R_ij = edge.R_ji.T
-            t_ij = -edge.R_ji.T @ (edge.t_ji * s_map)
-            self.pose_t = prev.R_cw @ t_ij + prev.t_cw
-            self.pose_R = prev.R_cw @ R_ij
-            # PnP against the existing map: once structure exists, robust
-            # 3D-2D GN has no two-view ambiguity — it replaces the
-            # essential-matrix pose (which remains the init + bootstrap)
-            n_pnp = self._pnp_refine_pose(ids, uv, valid)
-            if n_pnp >= 30:
-                # re-derive the odometry edge from the PnP-consistent poses
-                Rwj = self.pose_R.T
-                R_ji = Rwj @ prev.R_cw
-                t_ji = Rwj @ (prev.t_cw - self.pose_t)
-                if self.cfg.translation_mode != TranslationMode.FULL:
-                    n = np.linalg.norm(t_ji)
-                    if n > 1e-12:
-                        t_ji = t_ji / n * self._edge_scale(
-                            prev.frame_idx, frame_idx
-                        )
-                edge.R_ji = R_ji
-                edge.t_ji = t_ji
+            tri_meta, tri_results = self._run_keyframe_stage(
+                prev, ids, uv, valid, frame_idx
+            )
 
         kf = Keyframe(
             kf_id=kf_id,
@@ -386,7 +461,7 @@ class SfMSystem:
             )
         self.kfs.append(kf)
         self.last_kf_frame = frame_idx
-        self._update_map(kf)
+        self._update_map(kf, tri_meta, tri_results)
 
         # loop closure (ref cpp:1822-1866): descriptor search + LK verify
         found_loop = False
@@ -415,128 +490,110 @@ class SfMSystem:
         for hook in self.on_keyframe:
             hook(self, kf)
 
-    def _estimate_edge(self, kf_i: Keyframe, ids, uv, valid, frame_idx: int) -> Edge:
-        """Sequential edge re-estimated from slot-aligned shared tracks
-        (ref cpp:1782-1798), cross-checked against the per-frame composed
-        chain: an edge that disagrees with the chain by more than a few
-        degrees is re-estimated once with a fresh RANSAC draw and the
-        candidate closest to the chain wins (both are samples of the same
-        estimator; the chain acts as a cheap referee against rare
-        wrong-basin convergences)."""
-        shared = kf_i.valid & valid & (kf_i.ids == ids)
+    def _run_keyframe_stage(self, prev: Keyframe, ids, uv, valid,
+                            frame_idx: int):
+        """Host wrapper around the fused keyframe device stage: prepares
+        the PnP / triangulation tables, runs ONE device program, and books
+        the resulting pose + odometry edge. Returns the triangulation
+        metadata + results for ``_update_map``."""
+        shared = prev.valid & valid & (prev.ids == ids)
+        R_wc_i, t_wc_i = prev.pose_wc
 
-        def run_once():
-            return TwoView(_two_view_stage(
-                self._next_key(),
-                self._Kj,
-                jnp.asarray(kf_i.uv, jnp.float32),
-                jnp.asarray(uv, jnp.float32),
-                jnp.asarray(shared),
+        # chain relative pose (fallback when the edge RANSAC fails)
+        Rwj = self.pose_R.T
+        R_chain = Rwj @ prev.R_cw
+        t_chain = Rwj @ (prev.t_cw - self.pose_t)
+
+        # PnP / scale tables from mapped tracks visible in this frame
+        pids = self.map.pids_for(ids)
+        selm = valid & (pids >= 0)
+        sel_idx = np.nonzero(selm)[0][:PNP_CAP]
+        n_map = len(sel_idx)
+        pnp_X = np.zeros((PNP_CAP, 3))
+        pnp_uv = np.zeros((PNP_CAP, 2))
+        pnp_valid = np.zeros(PNP_CAP, bool)
+        if n_map:
+            pnp_X[:n_map] = self.map.xyz()[pids[sel_idx]]
+            pnp_uv[:n_map] = uv[sel_idx]
+            pnp_valid[:n_map] = True
+
+        # triangulation tables: tracks without a map point whose first
+        # observation is in an earlier keyframe (ref py:935-949 first-vs-
+        # last); leftovers beyond TRI_CAP stay pending
+        rest = np.nonzero(valid & (pids < 0))[0]
+        tri_meta: list[tuple[int, int]] = []
+        tri_Ra = np.zeros((TRI_CAP, 3, 3))
+        tri_ta = np.zeros((TRI_CAP, 3))
+        tri_uva = np.zeros((TRI_CAP, 2))
+        tri_uvb = np.zeros((TRI_CAP, 2))
+        tri_valid = np.zeros(TRI_CAP, bool)
+        for slot in rest:
+            tid = int(ids[slot])
+            fo = self.first_obs.get(tid)
+            if fo is None or len(tri_meta) >= TRI_CAP:
+                continue
+            k = len(tri_meta)
+            fkf_id, fuv = fo
+            Rwi_f, twi_f = self.kfs[fkf_id].pose_wc
+            tri_Ra[k] = Rwi_f
+            tri_ta[k] = twi_f
+            tri_uva[k] = fuv
+            tri_uvb[k] = uv[slot]
+            tri_valid[k] = True
+            tri_meta.append((tid, slot))
+
+        fixed_scale = (
+            self._edge_scale(prev.frame_idx, frame_idx)
+            if self.cfg.use_gt_scale
+            else -1.0
+        )
+        fx = float(self.K[0, 0])
+        f32 = jnp.float32
+        pack = np.asarray(
+            _keyframe_fused_stage(
+                self._next_key(), self._Kj,
+                jnp.asarray(prev.uv, f32), jnp.asarray(shared),
+                jnp.asarray(uv, f32),
+                jnp.asarray(R_chain, f32), jnp.asarray(t_chain, f32),
+                jnp.asarray(R_wc_i, f32), jnp.asarray(t_wc_i, f32),
+                jnp.asarray(pnp_X, f32), jnp.asarray(pnp_uv, f32),
+                jnp.asarray(pnp_valid),
+                jnp.asarray(tri_Ra, f32), jnp.asarray(tri_ta, f32),
+                jnp.asarray(tri_uva, f32), jnp.asarray(tri_uvb, f32),
+                jnp.asarray(tri_valid),
+                jnp.float32(fixed_scale),
                 num_hypotheses=self.cfg.ransac.num_hypotheses,
                 sampson_thresh=self.cfg.ransac.sampson_thresh,
                 min_inliers=self.cfg.ransac.min_inliers,
-            ))
+                pnp_iters=10,
+                pnp_huber=self.cfg.ba.huber_delta / fx,
+            ),
+            np.float64,
+        )  # ONE pull for edge + scale + PnP + pose + triangulation
+        R_f = pack[:9].reshape(3, 3)
+        t_f = pack[9:12]
+        R_ji = pack[12:21].reshape(3, 3)
+        t_ji = pack[21:24]
+        edge_inliers = int(pack[26])
+        o = 28
+        tri_X = pack[o : o + TRI_CAP * 3].reshape(TRI_CAP, 3)
+        tri_ok = pack[o + TRI_CAP * 3 : o + TRI_CAP * 4] > 0.5
 
-        # chain relative pose (world→cam_j from the running per-frame pose)
-        Rwj = self.pose_R.T
-        R_chain = Rwj @ kf_i.R_cw
-        t_chain = Rwj @ (kf_i.t_cw - self.pose_t)
+        # new pose (world→cam back to cam→world)
+        self.pose_R = R_f.T
+        self.pose_t = -R_f.T @ t_f
 
-        def disagreement(R_est, t_est):
-            da = np_geom.rot_angle_deg(R_est, R_chain)
-            dt = np_geom.dir_angle_deg(t_est, t_chain)
-            return max(da, dt)
-
-        rp = run_once()
-        if rp.ok and disagreement(rp.R, rp.t) > 5.0:
-            rp2 = run_once()
-            if rp2.ok and disagreement(rp2.R, rp2.t) < disagreement(rp.R, rp.t):
-                rp = rp2
-
-        kf_j_id = len(self.kfs)
-        if rp.ok:
-            R_ji = rp.R
-            t_ji = rp.t
-        else:
-            # fall back to the per-frame composed relative pose
-            R_ji = R_chain
-            t_ji = t_chain
-        scale = self._edge_scale(kf_i.frame_idx, frame_idx)
+        # odometry edge (normalized per translation mode, ref py:979-981)
+        scale = self._edge_scale(prev.frame_idx, frame_idx)
         if self.cfg.translation_mode != TranslationMode.FULL:
             n = np.linalg.norm(t_ji)
             if n > 1e-12:
                 t_ji = t_ji / n * scale
-        return Edge(i=kf_i.kf_id, j=kf_j_id, R_ji=R_ji, t_ji=t_ji,
-                    inliers=rp.num_inliers, is_loop=False)
-
-    def _pnp_refine_pose(self, ids, uv, valid) -> int:
-        """Refine the running pose by robust 3D-2D GN against the map
-        (ops/pnp.py). Returns the inlier count (0 if too few points)."""
-        pids = self.map.pids_for(ids)
-        sel = valid & (pids >= 0)
-        n = int(sel.sum())
-        if n < 30:
-            return 0
-        xyz = self.map.xyz()
-        sel_idx = np.nonzero(sel)[0][:PNP_CAP]
-        n = len(sel_idx)
-        cap = PNP_CAP
-        X = np.zeros((cap, 3))
-        ob = np.zeros((cap, 2))
-        v = np.zeros(cap, bool)
-        X[:n] = xyz[pids[sel_idx]]
-        ob[:n] = uv[sel_idx]
-        v[:n] = True
-        xo = jnp.asarray(np_geom.normalize_by_K(self.K, ob), jnp.float32)
-        R0 = jnp.asarray(self.pose_R.T, jnp.float32)
-        t0 = jnp.asarray(-self.pose_R.T @ self.pose_t, jnp.float32)
-        fx = float(self.K[0, 0])
-        pack = np.asarray(_pnp_packed(
-            R0, t0, jnp.asarray(X, jnp.float32), xo, jnp.asarray(v),
-            iters=10, huber_delta=self.cfg.ba.huber_delta / fx,
-        ), np.float64)  # one pull
-        n_inl = int(pack[12])
-        if n_inl >= 30:
-            R_wc = pack[:9].reshape(3, 3)
-            t_wc = pack[9:12]
-            self.pose_R = R_wc.T
-            self.pose_t = -R_wc.T @ t_wc
-        return n_inl
-
-    def _propagate_scale(self, prev: Keyframe, ids, uv, valid, edge: Edge) -> float:
-        """Estimate the translation scale of a new edge from map points
-        visible in the new frame (1-dof robust least squares).
-
-        With x_j the normalized obs of map point X in the new camera and
-        Xc_i = R_wc,i X + t_wc,i its coords in the previous camera:
-        (R_ji Xc_i).xy + s·t.xy = x_j((R_ji Xc_i).z + s·t.z) — two linear
-        equations in s per point; take the median of per-point solutions.
-        """
-        if self.cfg.use_gt_scale:
-            return 1.0  # edge.t_ji already carries the GT baseline length
-        Rwi, twi = prev.pose_wc
-        t_u = edge.t_ji / max(np.linalg.norm(edge.t_ji), 1e-12)
-        pids = self.map.pids_for(ids)
-        sel = valid & (pids >= 0)
-        if int(sel.sum()) < 5:
-            return 1.0
-        X = self.map.xyz()[pids[sel]]
-        Xi = X @ Rwi.T + twi  # (N,3) in the previous camera
-        front = Xi[:, 2] > 1e-6
-        if int(front.sum()) < 5:
-            return 1.0
-        Xi = Xi[front]
-        w = Xi @ edge.R_ji.T
-        xj = np_geom.normalize_by_K(self.K, uv[sel][front])
-        a = t_u[None, :2] - xj * t_u[2]
-        b = xj * w[:, 2:3] - w[:, :2]
-        den = np.einsum("ni,ni->n", a, a)
-        good = den > 1e-10
-        if int(good.sum()) < 5:
-            return 1.0
-        sols = np.einsum("ni,ni->n", a[good], b[good]) / den[good]
-        s = float(np.median(sols))
-        return s if s > 1e-6 else 1.0
+        self.edges.append(
+            Edge(i=prev.kf_id, j=len(self.kfs), R_ji=R_ji, t_ji=t_ji,
+                 inliers=edge_inliers, is_loop=False)
+        )
+        return tri_meta, (tri_X, tri_ok)
 
     @staticmethod
     def _relative_from_poses(kf_i: Keyframe, kf_j: Keyframe):
@@ -547,67 +604,31 @@ class SfMSystem:
         t_ji = Rwj @ kf_i.t_cw + twj
         return R_ji, t_ji
 
-    def _update_map(self, kf: Keyframe) -> None:
-        """Record observations; triangulate tracks first seen in an earlier
-        keyframe (ref py:935-975, first-vs-last obs)."""
+    def _update_map(self, kf: Keyframe, tri_meta, tri_results) -> None:
+        """Record observations; register triangulations computed by the
+        fused keyframe stage (ref py:935-975 first-vs-last semantics)."""
         pids = self.map.pids_for(kf.ids)
         mapped = kf.valid & (pids >= 0)
-        # record observations for already-mapped tracks (vectorized append)
         for slot in np.nonzero(mapped)[0]:
             self.map.add_obs(kf.kf_id, int(pids[slot]), kf.uv[slot])
-        rest = np.nonzero(kf.valid & (pids < 0))[0]
-        tri_tid, tri_a = [], []
-        for slot in rest:
-            tid = int(kf.ids[slot])
-            if tid in self.first_obs:
-                tri_tid.append(tid)
-                tri_a.append(slot)
-            else:
-                self.first_obs[tid] = (kf.kf_id, kf.uv[slot].copy())
 
-        if not tri_tid:
-            return
-        if len(tri_tid) > TRI_CAP:
-            # leftover tracks stay in first_obs and triangulate (with a
-            # longer baseline) at the next keyframe
-            tri_tid = tri_tid[:TRI_CAP]
-            tri_a = tri_a[:TRI_CAP]
-        n = len(tri_tid)
-        cap = TRI_CAP
-        R_a = np.zeros((cap, 3, 3))
-        t_a = np.zeros((cap, 3))
-        uv_a = np.zeros((cap, 2))
-        uv_b = np.zeros((cap, 2))
-        valid = np.zeros(cap, bool)
-        Rwj, twj = kf.pose_wc
-        first_kf_ids = []
-        for k, (tid, slot) in enumerate(zip(tri_tid, tri_a)):
-            fkf_id, fuv = self.first_obs[tid]
-            Rwi, twi = self.kfs[fkf_id].pose_wc
-            R_a[k] = Rwi
-            t_a[k] = twi
-            uv_a[k] = fuv
-            uv_b[k] = kf.uv[slot]
-            valid[k] = True
-            first_kf_ids.append(fkf_id)
-        R_b = np.broadcast_to(Rwj, (cap, 3, 3)).copy()
-        t_b = np.broadcast_to(twj, (cap, 3)).copy()
-        f32 = jnp.float32
-        pack = np.asarray(_triangulate_packed(
-            jnp.asarray(self.K, f32),
-            jnp.asarray(R_a, f32), jnp.asarray(t_a, f32), jnp.asarray(uv_a, f32),
-            jnp.asarray(R_b, f32), jnp.asarray(t_b, f32), jnp.asarray(uv_b, f32),
-            jnp.asarray(valid),
-        ), np.float64)  # one pull
-        X = pack[:, :3]
-        ok = pack[:, 3] > 0.5
-        for k, (tid, slot) in enumerate(zip(tri_tid, tri_a)):
-            if not ok[k]:
-                continue
-            pid = self.map.add_point(tid, X[k])
-            fkf_id, fuv = self.first_obs[tid]
-            self.map.add_obs(fkf_id, pid, fuv)
-            self.map.add_obs(kf.kf_id, pid, kf.uv[slot])
+        if tri_results is not None:
+            tri_X, tri_ok = tri_results
+            for k, (tid, slot) in enumerate(tri_meta):
+                if not tri_ok[k]:
+                    continue
+                pid = self.map.add_point(tid, tri_X[k])
+                fkf_id, fuv = self.first_obs[tid]
+                self.map.add_obs(fkf_id, pid, fuv)
+                self.map.add_obs(kf.kf_id, pid, kf.uv[slot])
+
+        # register first observations for brand-new tracks
+        pids = self.map.pids_for(kf.ids)
+        fresh = np.nonzero(kf.valid & (pids < 0))[0]
+        for slot in fresh:
+            tid = int(kf.ids[slot])
+            if tid not in self.first_obs:
+                self.first_obs[tid] = (kf.kf_id, kf.uv[slot].copy())
 
     # ------------------------------------------------------------------
     def _try_loop_closure(self, kf: Keyframe) -> bool:
