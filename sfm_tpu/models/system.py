@@ -147,27 +147,6 @@ def _snapshot_stage(state, img):
     return jnp.concatenate([snap.reshape(-1), desc.astype(jnp.float32)])
 
 
-@jax.jit
-def _triangulate_packed(K, R_a, t_a, uv_a, R_b, t_b, uv_b, valid):
-    """_triangulate_stage with the (TRI_CAP,4) [X|ok] packed output."""
-    X, ok = _triangulate_stage(K, R_a, t_a, uv_a, R_b, t_b, uv_b, valid)
-    return jnp.concatenate(
-        [X.astype(jnp.float32), ok.astype(jnp.float32)[:, None]], axis=1
-    )
-
-
-@partial(jax.jit, static_argnames=("iters",))
-def _pnp_packed(R0, t0, X, obs, valid, iters: int, huber_delta):
-    R, t, info = pnp_ops.refine_pose(
-        R0, t0, X, obs, valid, iters=iters, huber_delta=huber_delta
-    )
-    f32 = jnp.float32
-    return jnp.concatenate([
-        R.reshape(9).astype(f32), t.astype(f32),
-        jnp.stack([info["inliers"].astype(f32), info["inlier_rms"].astype(f32)]),
-    ])
-
-
 @partial(
     jax.jit,
     static_argnames=("num_hypotheses", "min_inliers", "pnp_iters"),
