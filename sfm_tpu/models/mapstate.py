@@ -3,9 +3,10 @@
 Mirrors the reference's state layer (reference: python/src/
 templering_sfm.py:476-526 ``Keyframe``/``MapPoint``/``MapState``;
 cpp/src/templering_sfm.cpp:766-798). The host keeps cheap index
-bookkeeping (dicts / growing lists — this is control flow, not compute);
-every numeric batch (triangulation, BA linearization) is handed to the
-device as padded fixed-shape arrays.
+bookkeeping in amortized-growth numpy buffers (python lists of small
+arrays cost tens of ms per keyframe to re-stack); every numeric batch
+(triangulation, BA linearization) is handed to the device as padded
+fixed-shape arrays.
 """
 
 from __future__ import annotations
@@ -61,25 +62,38 @@ class Edge:
     w_trans: float = 1.0
 
 
+def _grow(arr: np.ndarray, n_needed: int) -> np.ndarray:
+    n = len(arr)
+    if n_needed <= n:
+        return arr
+    while n < n_needed:
+        n *= 2
+    out = np.zeros((n, *arr.shape[1:]), arr.dtype)
+    out[: len(arr)] = arr
+    return out
+
+
 class MapState:
     """Sparse map: track-id -> point index, world points, observations.
 
-    ref: py:497-526 / cpp:781-798. Observations are stored as growing
-    flat arrays (kf_id, pid, uv) — the natural layout for the batched BA
+    ref: py:497-526 / cpp:781-798. Observations live in flat amortized
+    arrays (kf_id, pid, uv) — the natural layout for the batched BA
     linearization (SURVEY §2.6 'obs table').
     """
 
     def __init__(self):
         self.tid2pid: dict[int, int] = {}
-        self.points: list[np.ndarray] = []  # pid -> (3,)
-        self.point_tid: list[int] = []
-        self.obs_kf: list[int] = []
-        self.obs_pid: list[int] = []
-        self.obs_uv: list[np.ndarray] = []
-        # vectorized tid -> pid lookup (python dict loops over thousands of
-        # tracks cost ~100ms per keyframe on the host path)
+        self._X = np.zeros((1024, 3))
+        self._point_tid = np.zeros(1024, np.int64)
+        self._n_points = 0
+        self._obs_kf = np.zeros(4096, np.int32)
+        self._obs_pid = np.zeros(4096, np.int32)
+        self._obs_uv = np.zeros((4096, 2))
+        self._n_obs = 0
+        # vectorized tid -> pid lookup
         self._pid_of_tid = np.full(4096, -1, np.int64)
 
+    # -- tid -> pid -----------------------------------------------------
     def _ensure_tid(self, tid: int) -> None:
         if tid >= len(self._pid_of_tid):
             n = len(self._pid_of_tid)
@@ -97,55 +111,73 @@ class MapState:
         out[(tids < 0) | (tids >= len(self._pid_of_tid))] = -1
         return out
 
+    def rebuild_lookup(self) -> None:
+        """Recompute the vectorized tid->pid table from point tids (used
+        by checkpoint restore)."""
+        self._pid_of_tid = np.full(4096, -1, np.int64)
+        for pid in range(self._n_points):
+            tid = int(self._point_tid[pid])
+            self._ensure_tid(tid)
+            self._pid_of_tid[tid] = pid
+
+    # -- points ----------------------------------------------------------
     def add_point(self, tid: int, Xw: np.ndarray) -> int:
-        pid = len(self.points)
-        self.points.append(np.asarray(Xw, np.float64))
-        self.point_tid.append(tid)
+        pid = self._n_points
+        self._X = _grow(self._X, pid + 1)
+        self._point_tid = _grow(self._point_tid, pid + 1)
+        self._X[pid] = Xw
+        self._point_tid[pid] = tid
+        self._n_points += 1
         self.tid2pid[tid] = pid
         self._ensure_tid(tid)
         self._pid_of_tid[tid] = pid
         return pid
 
-    def rebuild_lookup(self) -> None:
-        """Recompute the vectorized tid->pid table from point_tid (used by
-        checkpoint restore)."""
-        self._pid_of_tid = np.full(4096, -1, np.int64)
-        for pid, tid in enumerate(self.point_tid):
-            self._ensure_tid(int(tid))
-            self._pid_of_tid[int(tid)] = pid
-
-    def add_obs(self, kf_id: int, pid: int, uv: np.ndarray) -> None:
-        self.obs_kf.append(kf_id)
-        self.obs_pid.append(pid)
-        self.obs_uv.append(np.asarray(uv, np.float64))
-
     def xyz(self) -> np.ndarray:
-        if not self.points:
-            return np.zeros((0, 3))
-        return np.stack(self.points)
+        """(N,3) view of the live points (treat as read-only; use
+        set_xyz to write back)."""
+        return self._X[: self._n_points]
 
     def set_xyz(self, X: np.ndarray) -> None:
-        for i in range(len(self.points)):
-            self.points[i] = X[i]
+        self._X[: self._n_points] = X
 
     @property
     def num_points(self) -> int:
-        return len(self.points)
+        return self._n_points
+
+    @property
+    def point_tid(self) -> list[int]:
+        return [int(t) for t in self._point_tid[: self._n_points]]
+
+    # -- observations -----------------------------------------------------
+    def add_obs(self, kf_id: int, pid: int, uv: np.ndarray) -> None:
+        n = self._n_obs
+        self._obs_kf = _grow(self._obs_kf, n + 1)
+        self._obs_pid = _grow(self._obs_pid, n + 1)
+        self._obs_uv = _grow(self._obs_uv, n + 1)
+        self._obs_kf[n] = kf_id
+        self._obs_pid[n] = pid
+        self._obs_uv[n] = uv
+        self._n_obs = n + 1
+
+    def add_obs_batch(self, kf_id: int, pids: np.ndarray, uvs: np.ndarray) -> None:
+        k = len(pids)
+        if k == 0:
+            return
+        n = self._n_obs
+        self._obs_kf = _grow(self._obs_kf, n + k)
+        self._obs_pid = _grow(self._obs_pid, n + k)
+        self._obs_uv = _grow(self._obs_uv, n + k)
+        self._obs_kf[n : n + k] = kf_id
+        self._obs_pid[n : n + k] = pids
+        self._obs_uv[n : n + k] = uvs
+        self._n_obs = n + k
 
     @property
     def num_obs(self) -> int:
-        return len(self.obs_kf)
+        return self._n_obs
 
     def obs_arrays(self):
-        """(M,) kf ids, (M,) pids, (M,2) uv as numpy arrays."""
-        if not self.obs_kf:
-            return (
-                np.zeros(0, np.int32),
-                np.zeros(0, np.int32),
-                np.zeros((0, 2), np.float64),
-            )
-        return (
-            np.asarray(self.obs_kf, np.int32),
-            np.asarray(self.obs_pid, np.int32),
-            np.stack(self.obs_uv),
-        )
+        """(M,) kf ids, (M,) pids, (M,2) uv — live views, no copying."""
+        n = self._n_obs
+        return self._obs_kf[:n], self._obs_pid[:n], self._obs_uv[:n]

@@ -587,9 +587,8 @@ class SfMSystem:
         """Record observations; register triangulations computed by the
         fused keyframe stage (ref py:935-975 first-vs-last semantics)."""
         pids = self.map.pids_for(kf.ids)
-        mapped = kf.valid & (pids >= 0)
-        for slot in np.nonzero(mapped)[0]:
-            self.map.add_obs(kf.kf_id, int(pids[slot]), kf.uv[slot])
+        mapped = np.nonzero(kf.valid & (pids >= 0))[0]
+        self.map.add_obs_batch(kf.kf_id, pids[mapped], kf.uv[mapped])
 
         if tri_results is not None:
             tri_X, tri_ok = tri_results

@@ -107,13 +107,21 @@ def load_checkpoint(system, path: str | Path) -> None:
                  w_rot=em["w_rot"], w_trans=em["w_trans"])
         )
     m = system.map
-    m.points = [p for p in z["points"]]
-    m.point_tid = list(meta["point_tid"])
-    m.tid2pid = {int(t): i for i, t in enumerate(m.point_tid)}
+    pts = np.asarray(z["points"], np.float64).reshape(-1, 3)
+    m._n_points = len(pts)
+    m._X = pts.copy() if len(pts) else np.zeros((1024, 3))
+    tids = np.asarray(meta["point_tid"], np.int64)
+    m._point_tid = tids.copy() if len(tids) else np.zeros(1024, np.int64)
+    m.tid2pid = {int(t): i for i, t in enumerate(tids)}
     m.rebuild_lookup()
-    m.obs_kf = list(z["obs_kf"])
-    m.obs_pid = list(z["obs_pid"])
-    m.obs_uv = [u for u in z["obs_uv"]]
+    m._n_obs = len(z["obs_kf"])
+    m._obs_kf = np.asarray(z["obs_kf"], np.int32).copy()
+    m._obs_pid = np.asarray(z["obs_pid"], np.int32).copy()
+    m._obs_uv = np.asarray(z["obs_uv"], np.float64).reshape(-1, 2).copy()
+    if m._n_obs == 0:
+        m._obs_kf = np.zeros(4096, np.int32)
+        m._obs_pid = np.zeros(4096, np.int32)
+        m._obs_uv = np.zeros((4096, 2))
     system.first_obs = {}
     if "first_obs_kf" in z:
         for t, kf, uv in zip(meta["first_obs_tid"], z["first_obs_kf"],
