@@ -16,12 +16,17 @@ at most ~2x the reference's min-distance radius) and is fully jittable.
 
 from __future__ import annotations
 
+import os
 from functools import partial
 
 import jax
 import jax.numpy as jnp
 
 from sfm_tpu.ops import image as im
+
+# opt-in to the fused Pallas corner-response kernel
+# (sfm_tpu/ops/pallas/shi_tomasi_kernel.py)
+_USE_PALLAS = os.environ.get("SFM_TPU_PALLAS", "0") == "1"
 
 
 def shi_tomasi_score(img, block_radius: int = 2):
@@ -52,7 +57,12 @@ def detect_corners(img, exclude_xy, exclude_valid, max_new: int, cell: int,
       xy (max_new,2) f32, score (max_new,), valid (max_new,) bool.
     """
     H, W = img.shape
-    score = shi_tomasi_score(img, block_radius)
+    if _USE_PALLAS:
+        from sfm_tpu.ops.pallas.shi_tomasi_kernel import shi_tomasi_score_pallas
+
+        score = shi_tomasi_score_pallas(img, block_radius)
+    else:
+        score = shi_tomasi_score(img, block_radius)
     # border + quality gating (ref cpp:271-284)
     yy = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0)
     xx = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
