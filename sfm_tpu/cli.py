@@ -142,8 +142,10 @@ def main(argv=None) -> int:
                 K, kf1, kf2, g1, g2, cfg.mesh_stereo
             )
             if len(f2):
+                # filename matches the reference's kf{a}_kf{b} pattern
+                # (ref py:1585)
                 artifacts.write_ply_mesh(
-                    out / f"templeRing_mesh_stereo_kf{i1}_{i2}.ply", v2, f2
+                    out / f"templeRing_mesh_stereo_kf{i1}_kf{i2}.ply", v2, f2
                 )
 
     if cfg.visuals:

@@ -245,7 +245,8 @@ def _sub(cfg_cls, merged: Mapping, section_names: Sequence[str], extra: Mapping 
             ws = section["win_size"]
             if isinstance(ws, Sequence):
                 ws = ws[0]
-            kwargs["win_radius"] = int(ws) // 2 // 2  # win 21 -> radius 5, ref py:1434
+            # invert the reference's win_size = 2r+1 relation (ref py:1433)
+            kwargs["win_radius"] = (int(ws) - 1) // 2
         if "pyr_levels" not in kwargs and "max_level" in section:
             kwargs["pyr_levels"] = int(section["max_level"])
     if cfg_cls is LoopConfig and "min_inliers" in section:

@@ -45,13 +45,18 @@ def _next_pow2(n: int, lo: int = 64) -> int:
 TRI_CAP = 1024
 PNP_CAP = 1024
 BA_OBS_CAP = 4096
-# global final BA caps: two coarse buckets (small for tests / short runs,
-# large for full sequences) so the warmup run compiles the same program as
-# the timed run
+# global final BA caps: a small bucket for tests / short runs, then
+# power-of-two growth so arbitrarily long sequences refine (the global BA
+# runs once per sequence, so one compile per bucket is acceptable; round-1
+# warn-skipped anything past 64 keyframes)
 def _gba_caps(n_kfs: int, n_pts: int, n_obs: int):
     if n_kfs <= 8 and n_pts <= 1024 and n_obs <= 4096:
         return 8, 1024, 4096
-    return 64, 16384, 32768
+    return (
+        _next_pow2(n_kfs, lo=64),
+        _next_pow2(n_pts, lo=16384),
+        _next_pow2(n_obs, lo=32768),
+    )
 
 
 @jax.jit
@@ -314,6 +319,7 @@ class SfMSystem:
         cfg = self.cfg
         with self.timers.stage("pyramid"):
             pyr = build_pyramid_u8(jnp.asarray(gray_u8), cfg.klt.pyr_levels)
+            jax.block_until_ready(pyr[0])
         met = {"frame": frame_idx, "image": img_name}
 
         if self.state is None:
@@ -330,6 +336,7 @@ class SfMSystem:
             self.state, prev_pos, matched = tracker.step(
                 self.prev_pyr, pyr, self.state, cfg.klt
             )
+            jax.block_until_ready(self.state.pos)
         with self.timers.stage("two_view"):
             pack = _two_view_stage(
                 self._next_key(),
@@ -341,7 +348,7 @@ class SfMSystem:
                 sampson_thresh=cfg.ransac.sampson_thresh,
                 min_inliers=cfg.ransac.min_inliers,
             )
-        tv = TwoView(pack)  # single D2H pull
+            tv = TwoView(pack)  # single D2H pull (the stage's real cost)
         ok = tv.ok
         inliers = tv.num_inliers
         parallax = tv.parallax
@@ -405,7 +412,8 @@ class SfMSystem:
         """ref py:951-988 add_keyframe / cpp:1765-1871 keyframe block."""
         kf_id = len(self.kfs)
         T = self.cfg.klt.max_tracks
-        packed = np.asarray(_snapshot_stage(self.state, pyr[0]), np.float64)
+        with self.timers.stage("kf_snapshot"):
+            packed = np.asarray(_snapshot_stage(self.state, pyr[0]), np.float64)
         snap = packed[: T * 4].reshape(T, 4)
         desc = packed[T * 4 :]
         uv = snap[:, :2]
@@ -416,9 +424,10 @@ class SfMSystem:
         tri_results = None
         if kf_id > 0:
             prev = self.kfs[-1]
-            tri_meta, tri_results = self._run_keyframe_stage(
-                prev, ids, uv, valid, frame_idx
-            )
+            with self.timers.stage("kf_geometry"):
+                tri_meta, tri_results = self._run_keyframe_stage(
+                    prev, ids, uv, valid, frame_idx
+                )
 
         kf = Keyframe(
             kf_id=kf_id,
@@ -435,12 +444,15 @@ class SfMSystem:
         if self.cfg.loop.enabled and self.cfg.loop.method == "orb":
             from sfm_tpu.ops import orb as orb_ops
 
-            kf.orb = orb_ops.detect_and_describe(
-                pyr[0], max_kp=self.cfg.loop.max_keypoints
-            )
+            with self.timers.stage("orb"):
+                kf.orb = orb_ops.detect_and_describe(
+                    pyr[0], max_kp=self.cfg.loop.max_keypoints
+                )
+                jax.block_until_ready(kf.orb[1])
         self.kfs.append(kf)
         self.last_kf_frame = frame_idx
-        self._update_map(kf, tri_meta, tri_results)
+        with self.timers.stage("map_update"):
+            self._update_map(kf, tri_meta, tri_results)
 
         # loop closure (ref cpp:1822-1866): descriptor search + LK verify
         found_loop = False
@@ -592,13 +604,38 @@ class SfMSystem:
 
         if tri_results is not None:
             tri_X, tri_ok = tri_results
+            new_tid, new_slot, new_pid, new_fkf = [], [], [], []
             for k, (tid, slot) in enumerate(tri_meta):
                 if not tri_ok[k]:
                     continue
                 pid = self.map.add_point(tid, tri_X[k])
                 fkf_id, fuv = self.first_obs[tid]
                 self.map.add_obs(fkf_id, pid, fuv)
-                self.map.add_obs(kf.kf_id, pid, kf.uv[slot])
+                new_tid.append(tid)
+                new_slot.append(slot)
+                new_pid.append(pid)
+                new_fkf.append(fkf_id)
+            if new_pid:
+                # backfill observations at every keyframe between first
+                # sighting and (deferred) triangulation — the reference's
+                # triangulate_new_points records the full track history
+                # (ref py:935-975). Tracks keep their slot while alive, so
+                # an id match at the same slot identifies the observation.
+                tids = np.asarray(new_tid)
+                slots = np.asarray(new_slot)
+                pids = np.asarray(new_pid)
+                fkfs = np.asarray(new_fkf)
+                for mid in self.kfs[int(fkfs.min()) + 1 : kf.kf_id]:
+                    m = (
+                        (fkfs < mid.kf_id)
+                        & mid.valid[slots]
+                        & (mid.ids[slots] == tids)
+                    )
+                    if m.any():
+                        self.map.add_obs_batch(
+                            mid.kf_id, pids[m], mid.uv[slots[m]]
+                        )
+                self.map.add_obs_batch(kf.kf_id, pids, kf.uv[slots])
 
         # register first observations for brand-new tracks
         pids = self.map.pids_for(kf.ids)
@@ -808,6 +845,7 @@ class SfMSystem:
         if len(pids_w) > cfg.max_points:
             keep = np.argsort(-counts)[: cfg.max_points]
             pids_w = pids_w[keep]
+            counts = counts[keep]
         P = int(cfg.max_points)
         pid_local = -np.ones(self.map.num_points, np.int64)
         pid_local[pids_w] = np.arange(len(pids_w))
@@ -818,7 +856,14 @@ class SfMSystem:
             return
         sel_idx = np.nonzero(sel)[0]
         if m > BA_OBS_CAP:
-            sel_idx = sel_idx[:BA_OBS_CAP]
+            # keep observations of the best-observed points first (round-1
+            # took an arbitrary prefix, silently dropping long tracks)
+            cnt_of_local = np.zeros(len(pids_w) + 1, np.int64)
+            cnt_of_local[: len(pids_w)] = counts
+            order = np.argsort(
+                -cnt_of_local[pid_local[obs_pid[sel_idx]]], kind="stable"
+            )
+            sel_idx = sel_idx[order[:BA_OBS_CAP]]
             m = BA_OBS_CAP
         M = BA_OBS_CAP
         cam_idx = np.zeros(M, np.int32)
@@ -904,9 +949,6 @@ class SfMSystem:
             return
         nF = len(self.kfs)
         F, P, M = _gba_caps(nF, n_pts, len(obs_kf))
-        if nF > F:
-            log.warning("global BA skipped: %d keyframes > cap %d", nF, F)
-            return
         n_pts = min(n_pts, P)
         keep = (obs_pid < n_pts)
         obs_kf, obs_pid, obs_uv = obs_kf[keep], obs_pid[keep], obs_uv[keep]
@@ -983,7 +1025,16 @@ class SfMSystem:
                      rvec=rvec, t=e.t_ji)
             )
         artifacts.write_posegraph_edges(out / "posegraph_edges.csv", edge_rows)
-        artifacts.write_ply_xyz(out / "templeRing_sparse_points.ply", self.map.xyz())
+        # the sparse point cloud is only written for pointcloud/both
+        # (ref py:1546-1557 gates on export_geometry; cpp:1887 likewise)
+        from sfm_tpu.config import ExportGeometry
+
+        if self.cfg.export_geometry in (
+            ExportGeometry.POINTCLOUD, ExportGeometry.BOTH
+        ):
+            artifacts.write_ply_xyz(
+                out / "templeRing_sparse_points.ply", self.map.xyz()
+            )
         return {
             "keyframes": len(self.kfs),
             "map_points": self.map.num_points,

@@ -47,6 +47,15 @@ def save_checkpoint(system, path: str | Path) -> None:
         arrays["kf_desc"] = np.stack(
             [k.desc if k.desc is not None else np.zeros(1024) for k in system.kfs]
         )
+        # persist each keyframe's finest pyramid level so loop closure can
+        # fire against pre-checkpoint keyframes after resume (pyr + orb are
+        # rebuilt on load; without them system.py's gates `old.pyr is None`
+        # / `kf.orb is None` silently disabled loops across a resume)
+        if all(k.pyr is not None for k in system.kfs):
+            arrays["kf_img"] = np.stack(
+                [np.clip(np.asarray(k.pyr[0]), 0, 255).astype(np.uint8)
+                 for k in system.kfs]
+            )
     if system.edges:
         arrays["edge_R"] = np.stack([e.R_ji for e in system.edges])
         arrays["edge_t"] = np.stack([e.t_ji for e in system.edges])
@@ -91,14 +100,25 @@ def load_checkpoint(system, path: str | Path) -> None:
     system.last_kf_frame = meta["last_kf_frame"]
     system.kfs = []
     for k, km in enumerate(meta["kf_meta"]):
-        system.kfs.append(
-            Keyframe(
-                kf_id=km["kf_id"], frame_idx=km["frame_idx"],
-                img_name=km["img_name"], R_cw=z["kf_R"][k], t_cw=z["kf_t"][k],
-                ids=z["kf_ids"][k], uv=z["kf_uv"][k], valid=z["kf_valid"][k],
-                desc=z["kf_desc"][k],
-            )
+        kf = Keyframe(
+            kf_id=km["kf_id"], frame_idx=km["frame_idx"],
+            img_name=km["img_name"], R_cw=z["kf_R"][k], t_cw=z["kf_t"][k],
+            ids=z["kf_ids"][k], uv=z["kf_uv"][k], valid=z["kf_valid"][k],
+            desc=z["kf_desc"][k],
         )
+        if "kf_img" in z:
+            from sfm_tpu.models.system import build_pyramid_u8
+
+            kf.pyr = build_pyramid_u8(
+                jnp.asarray(z["kf_img"][k]), system.cfg.klt.pyr_levels
+            )
+            if system.cfg.loop.enabled and system.cfg.loop.method == "orb":
+                from sfm_tpu.ops import orb as orb_ops
+
+                kf.orb = orb_ops.detect_and_describe(
+                    kf.pyr[0], max_kp=system.cfg.loop.max_keypoints
+                )
+        system.kfs.append(kf)
     system.edges = []
     for k, em in enumerate(meta["edge_meta"]):
         system.edges.append(

@@ -9,14 +9,14 @@ from sfm_tpu.ops import ba, lie, umeyama
 
 
 def make_ba_problem(rng, F=4, P=120, noise=1e-4, perturb_pose=0.02,
-                    perturb_pts=0.02):
+                    perturb_pts=0.02, step=0.15):
     """Cameras on an arc looking at a blob of points; GT + perturbed init."""
     X_gt = rng.standard_normal((P, 3)) * np.array([0.4, 0.4, 0.25]) + np.array(
         [0, 0, 4.0]
     )
     R_gt, t_gt = [], []
     for f in range(F):
-        ang = 0.15 * (f - F / 2)
+        ang = step * (f - F / 2)
         w = np.array([0.0, ang, 0.0])
         R = np.asarray(lie.so3_exp(jnp.asarray(w)))
         C = np.array([4.0 * np.sin(ang), 0.2 * f, 4.0 - 4.0 * np.cos(ang)])
@@ -153,3 +153,102 @@ def test_e2e_with_ba_structure(tmp_path_factory, rng):
     frac = np.mean(np.abs(r - 0.10) < 0.03)
     assert frac > 0.55, frac
     assert abs(np.median(r) - 0.10) < 0.015, np.median(r)
+
+
+def test_global_ba_beyond_64_keyframes(rng):
+    """Sequences longer than the old 64-keyframe cap must refine, not
+    warn-skip (round-1 defect: system.py returned early past 64 kfs)."""
+    from sfm_tpu.config import SystemConfig
+    from sfm_tpu.models.mapstate import Keyframe
+    from sfm_tpu.models.system import SfMSystem, _gba_caps
+
+    F, P, M = _gba_caps(96, 2000, 40000)
+    assert F >= 96 and P >= 2000 and M >= 40000
+
+    prob, R_gt, t_gt, X_gt = make_ba_problem(rng, F=96, P=60,
+                                             perturb_pose=0.01, step=0.008)
+    K = np.eye(3)
+    sys_ = SfMSystem(K, SystemConfig(), gt_records=None)
+    R0 = np.asarray(prob.R_wc)
+    t0 = np.asarray(prob.t_wc)
+    for f in range(96):
+        sys_.kfs.append(Keyframe(
+            kf_id=f, frame_idx=f, img_name=f"f{f}",
+            R_cw=R0[f].T, t_cw=-R0[f].T @ t0[f],
+            ids=np.zeros(1, np.int64), uv=np.zeros((1, 2)),
+            valid=np.zeros(1, bool),
+        ))
+    for p in range(60):
+        sys_.map.add_point(p, np.asarray(prob.X)[p])
+    cam = np.asarray(prob.cam_idx)
+    pid = np.asarray(prob.pid_idx)
+    obs = np.asarray(prob.obs)
+    sys_.map.add_obs_batch(0, pid[cam == 0], obs[cam == 0])
+    for f in range(1, 96):
+        m = cam == f
+        sys_.map.add_obs_batch(f, pid[m], obs[m])
+    # K = I so normalize_by_K is the identity: obs are already normalized
+    sys_._run_global_ba(iters=8)
+    C_est = np.stack([kf.t_cw for kf in sys_.kfs])
+    C_gt = np.stack([-R_gt[f].T @ t_gt[f] for f in range(96)])
+    # monocular BA with one gauge pose leaves scale free: compare Sim(3)-
+    # aligned (same protocol as the ATE tools)
+    res = umeyama.ate(jnp.asarray(C_est), jnp.asarray(C_gt), with_scale=True)
+    init_rmse = float(np.sqrt(np.mean(np.sum(
+        (np.stack([-R0[f].T @ t0[f] for f in range(96)]) - C_gt) ** 2,
+        axis=1))))
+    assert float(res["rmse"]) < 0.2 * init_rmse, (float(res["rmse"]),
+                                                  init_rmse)
+
+
+def test_window_ba_obs_ranking():
+    """When window observations exceed BA_OBS_CAP the best-observed
+    points' observations are kept (round-1 took an arbitrary prefix)."""
+    import sfm_tpu.models.system as sysmod
+    from sfm_tpu.config import SystemConfig
+    from sfm_tpu.models.mapstate import Keyframe
+    from sfm_tpu.models.system import SfMSystem
+
+    captured = {}
+    real = sysmod._ba_packed
+
+    def spy(prob, **kw):
+        captured["prob"] = prob
+        return real(prob, **kw)
+
+    rng = np.random.default_rng(0)
+    K = np.eye(3)
+    sys_ = SfMSystem(K, SystemConfig(), gt_records=None)
+    F = 6
+    for f in range(F):
+        sys_.kfs.append(Keyframe(
+            kf_id=f, frame_idx=f, img_name=f"f{f}",
+            R_cw=np.eye(3), t_cw=np.array([0.1 * f, 0, 0]),
+            ids=np.zeros(1, np.int64), uv=np.zeros((1, 2)),
+            valid=np.zeros(1, bool),
+        ))
+    # 500 "long" tracks seen in all 6 kfs + 2000 "short" ones seen twice;
+    # 500*6 + 2000*2 = 7000 > BA_OBS_CAP=4096, so ranking must keep the
+    # long tracks' observations
+    X = rng.standard_normal((2500, 3)) * 0.3 + np.array([0, 0, 4.0])
+    for p in range(2500):
+        sys_.map.add_point(p, X[p])
+    for f in range(F):
+        long_p = np.arange(500)
+        sys_.map.add_obs_batch(
+            f, long_p, X[long_p, :2] / X[long_p, 2:3] + 0.1 * f
+        )
+    for p in range(500, 2500):
+        for f in (0, 1):
+            sys_.map.add_obs(f, p, X[p, :2] / X[p, 2:3])
+    sysmod._ba_packed = spy
+    try:
+        sys_._run_local_ba()
+    finally:
+        sysmod._ba_packed = real
+    prob = captured["prob"]
+    kept_pids = np.asarray(prob.pid_idx)[np.asarray(prob.obs_valid)]
+    # local pids 0..499 are the long tracks (sorted by obs count first);
+    # each must keep all 6 observations
+    counts = np.bincount(kept_pids, minlength=500)
+    assert (counts[:500] == 6).all(), counts[:500].min()

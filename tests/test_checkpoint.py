@@ -60,3 +60,56 @@ def test_checkpoint_roundtrip(synthetic_ring, tmp_path):
     C_full = np.stack([k.t_cw for k in s_full.kfs])
     C_res = np.stack([k.t_cw for k in s_b.kfs])
     np.testing.assert_allclose(C_res, C_full, atol=5e-3)
+
+
+def test_resume_spans_loop_closure(tmp_path):
+    """A loop closure whose candidate keyframe predates the checkpoint
+    must still fire after resume (requires pyr restoration: system.py
+    gates the LK verify on ``old.pyr is None``)."""
+    import dataclasses
+
+    from sfm_tpu.config import LoopConfig, PoseGraphConfig
+    from sfm_tpu.utils.dataset import TempleRing
+    from sfm_tpu.utils.synthetic import SyntheticRingSpec, generate_dataset
+
+    lons = tuple(list(np.arange(0, 60, 5.0)) + list(np.arange(55, -1, -5.0)))
+    dsdir = tmp_path / "ring"
+    generate_dataset(dsdir, SyntheticRingSpec(
+        n_frames=len(lons), width=480, height=360, fx=1100.0, fy=1100.0,
+        path_lons_deg=lons,
+    ))
+    ds = TempleRing.from_dir(dsdir)
+
+    def loop_system():
+        s = make_system(ds)
+        s.cfg = dataclasses.replace(
+            s.cfg,
+            loop=LoopConfig(enabled=True, min_kf_gap=8, score_thresh=0.94,
+                            min_tracked=120, ransac_iters=1024,
+                            ransac_thresh=2e-5, min_inliers=80),
+            pose_graph=PoseGraphConfig(mode="se3", iters=10),
+        )
+        return s
+
+    # run out (no revisit yet), checkpoint at frame 12
+    s_a = loop_system()
+    for i in range(12):
+        s_a.process(i, ds.records[i].img, ds.load_gray(i))
+    assert not any(e.is_loop for e in s_a.edges)
+    ck = tmp_path / "ck_loop"
+    checkpoint.save_checkpoint(s_a, ck)
+
+    # resume in a fresh system and come back to the start
+    s_b = loop_system()
+    checkpoint.load_checkpoint(s_b, ck)
+    assert all(k.pyr is not None for k in s_b.kfs), "pyr must be restored"
+    from sfm_tpu.models.system import build_pyramid_u8
+    import jax.numpy as jnp
+
+    s_b.prev_pyr = build_pyramid_u8(jnp.asarray(ds.load_gray(11)),
+                                    s_b.cfg.klt.pyr_levels)
+    for i in range(12, len(ds)):
+        s_b.process(i, ds.records[i].img, ds.load_gray(i))
+    loops = [e for e in s_b.edges if e.is_loop]
+    assert loops, "loop closure must fire against pre-checkpoint keyframes"
+    assert any(s_b.kfs[e.i].frame_idx < 12 for e in loops)

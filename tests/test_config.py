@@ -47,6 +47,16 @@ def test_defaults():
     assert cfg.translation_mode == TranslationMode.DIR
 
 
+def test_win_size_only_alias(tmp_path):
+    """win_size -> win_radius inverts the reference's 2r+1 relation
+    (ref py:1431-1434): [15,15] -> 7, not the 21->5 special case."""
+    p = tmp_path / "config.json"
+    p.write_text(json.dumps({"common": {"klt": {"win_size": [15, 15]}}}))
+    assert load_config(p).klt.win_radius == 7
+    p.write_text(json.dumps({"common": {"klt": {"win_size": 11}}}))
+    assert load_config(p).klt.win_radius == 5
+
+
 def test_reference_config_loads(tmp_path):
     p = tmp_path / "config.json"
     p.write_text(json.dumps(REFERENCE_CONFIG))
