@@ -145,16 +145,10 @@ def ensure_cpp_baseline(data_root: Path) -> dict:
     return info
 
 
-def run_ours(data_root: Path, frames: int = FRAMES, timed: bool = True):
-    import jax.numpy as jnp
-
+def bench_config(frames: int):
     from sfm_tpu.config import load_config
-    from sfm_tpu.models.system import SfMSystem
-    from sfm_tpu.ops import umeyama
-    from sfm_tpu.utils.dataset import TempleRing
 
-    ds = TempleRing.from_dir(data_root / "templeRing")
-    cfg = load_config(
+    return load_config(
         ROOT / "config.json",
         overrides={
             "frames": frames,
@@ -166,8 +160,25 @@ def run_ours(data_root: Path, frames: int = FRAMES, timed: bool = True):
             "loop.ransac_thresh": 2e-5,
         },
     )
+
+
+def run_ours(data_root: Path, frames: int = FRAMES, pipeline: str = "scan"):
+    import jax.numpy as jnp
+
+    from sfm_tpu.ops import umeyama
+    from sfm_tpu.utils.dataset import TempleRing
+
+    ds = TempleRing.from_dir(data_root / "templeRing")
+    cfg = bench_config(frames)
     grays = [ds.load_gray(i) for i in range(frames)]  # preload: IO excluded
-    sys_ = SfMSystem(ds.K, cfg, gt_records=ds.records)
+    if pipeline == "scan":
+        from sfm_tpu.models.scan_pipeline import ScanSfM
+
+        sys_ = ScanSfM(ds.K, cfg, n_frames=FRAMES, chunk=16)
+    else:
+        from sfm_tpu.models.system import SfMSystem
+
+        sys_ = SfMSystem(ds.K, cfg, gt_records=ds.records)
     t0 = time.perf_counter()
     for i in range(frames):
         sys_.process(i, ds.records[i].img, grays[i])
@@ -179,33 +190,73 @@ def run_ours(data_root: Path, frames: int = FRAMES, timed: bool = True):
     res = umeyama.ate(jnp.asarray(est), jnp.asarray(gt), with_scale=True)
     out_dir = BENCH_DIR / "tpu_out"
     sys_.export(out_dir, dataset=ds)
-    sys_.timers.dump(BENCH_DIR / "stage_timers.json")
-    return {
+    with open(BENCH_DIR / "metrics.jsonl", "w") as f:
+        for m in sys_.metrics:
+            f.write(json.dumps(m) + "\n")
+    n_pts = (sys_.map.num_points if hasattr(sys_, "map")
+             else len(sys_.map_xyz))
+    out = {
         "wall_s": dt,
         "fps": frames / dt,
         "keyframes": len(sys_.kfs),
-        "map_points": sys_.map.num_points,
+        "map_points": n_pts,
         "edges": len(sys_.edges),
+        "loop_edges": sum(1 for e in sys_.edges if e.is_loop),
         "ate_rmse_sim3": float(res["rmse"]),
         "ate_ratio_extent": float(res["rmse"])
         / float(np.linalg.norm(gt - gt.mean(0), axis=1).max()),
-        "stage_timers": sys_.timers.summary(),
     }
+    if hasattr(sys_, "timers"):
+        sys_.timers.dump(BENCH_DIR / "stage_timers.json")
+        out["stage_timers"] = sys_.timers.summary()
+    return out
+
+
+def bench_ba_iters(data_root: Path) -> float:
+    """Standalone window-BA throughput (LM iterations/sec) at bench scale
+    (window 6 x 1024 points x 13k observations)."""
+    import jax
+    import jax.numpy as jnp
+
+    from sfm_tpu.ops import ba as ba_ops
+
+    rng = np.random.default_rng(0)
+    F, P, M = 6, 1024, 13200
+    X = rng.standard_normal((P, 3)) * 0.3 + np.array([0, 0, 4.0])
+    R_wc = np.tile(np.eye(3), (F, 1, 1))
+    t_wc = np.zeros((F, 3))
+    t_wc[:, 0] = np.linspace(0, 0.5, F)
+    cam = (np.arange(M) % F).astype(np.int32)
+    pid = (np.arange(M) % P).astype(np.int32)
+    Xc = np.einsum("mij,mj->mi", R_wc[cam], X[pid]) + t_wc[cam]
+    obs = Xc[:, :2] / Xc[:, 2:3] + rng.standard_normal((M, 2)) * 1e-3
+    prob = ba_ops.BAProblem(
+        R_wc=jnp.asarray(R_wc, jnp.float32), t_wc=jnp.asarray(t_wc, jnp.float32),
+        X=jnp.asarray(X, jnp.float32),
+        cam_idx=jnp.asarray(cam), pid_idx=jnp.asarray(pid),
+        obs=jnp.asarray(obs, jnp.float32),
+        obs_valid=jnp.ones(M, bool), point_valid=jnp.ones(P, bool),
+    )
+    iters = 50
+    run = lambda: jax.block_until_ready(ba_ops.bundle_adjust(
+        prob, iters=iters, lambda0=1e-3, huber_delta=2e-3, n_fix=1,
+        update_points=True))
+    run()  # compile
+    t0 = time.perf_counter()
+    reps = 3
+    for _ in range(reps):
+        run()
+    dt = time.perf_counter() - t0
+    return reps * iters / dt
 
 
 def main():
     data_root = ensure_dataset()
     baseline = ensure_cpp_baseline(data_root)
-    # warmup pass compiles every jitted stage (shapes are fixed-capacity,
-    # so the timed run below hits the compile cache)
-    run_ours(data_root, frames=min(12, FRAMES))
+    # warmup pass at the full frame count compiles every jitted stage and
+    # every fixed-capacity bucket; the timed run hits the compile cache
+    run_ours(data_root)
     ours = run_ours(data_root)
-    timers = ours.get("stage_timers", {})
-    ba = timers.get("local_ba", {})
-    ba_iters_per_sec = None
-    if ba.get("total_s"):
-        # each local-BA call runs cfg.ba.iters LM iterations (default 5)
-        ba_iters_per_sec = round(5.0 * ba["count"] / ba["total_s"], 1)
     line = {
         "metric": "frames_per_sec_47img_templering",
         "value": round(ours["fps"], 3),
@@ -216,10 +267,11 @@ def main():
         "tpu_wall_s": round(ours["wall_s"], 3),
         "ate_rmse_sim3": ours["ate_rmse_sim3"],
         "ate_ratio_extent": round(ours["ate_ratio_extent"], 5),
-        "ba_iters_per_sec": ba_iters_per_sec,
+        "ba_iters_per_sec": round(bench_ba_iters(data_root), 1),
         "keyframes": ours["keyframes"],
         "map_points": ours["map_points"],
         "edges": ours["edges"],
+        "loop_edges": ours["loop_edges"],
     }
     print(json.dumps(line))
 

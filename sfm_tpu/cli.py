@@ -47,6 +47,12 @@ def parse_args(argv=None):
     ap.add_argument("--mesh-max-edge-px", type=float, default=None)
     ap.add_argument("--metrics-jsonl", type=str, default=None,
                     help="write per-frame metrics as JSON lines")
+    ap.add_argument("--pipeline", type=str, default="host",
+                    choices=["host", "scan"],
+                    help="host = host-driven loop with jitted stages "
+                         "(full feature set incl. --use-gt-scale); "
+                         "scan = device-resident lax.scan frame loop "
+                         "(fastest; the bench flagship)")
     return ap.parse_args(argv)
 
 
@@ -95,7 +101,13 @@ def main(argv=None) -> int:
 
     K = load_K_yaml(args.k_yaml) if args.k_yaml else ds.K
     n_frames = min(cfg.frames, len(ds))
-    sys_ = SfMSystem(K, cfg, gt_records=ds.records)
+    use_scan = args.pipeline == "scan"
+    if use_scan:
+        from sfm_tpu.models.scan_pipeline import ScanSfM
+
+        sys_ = ScanSfM(K, cfg, n_frames=n_frames)
+    else:
+        sys_ = SfMSystem(K, cfg, gt_records=ds.records)
 
     t0 = time.perf_counter()
     grays = []
@@ -103,13 +115,26 @@ def main(argv=None) -> int:
         gray = ds.load_gray(i)
         if cfg.visuals and len(grays) < 16:
             grays.append(gray)
-        met = sys_.process(i, ds.records[i].img, gray)
-        print(
-            f"frame {i + 1}/{n_frames} | keyframes={len(sys_.kfs)} | "
-            f"map_points={sys_.map.num_points} | edges={len(sys_.edges)}"
-        )
+        sys_.process(i, ds.records[i].img, gray)
+        if not use_scan:
+            print(
+                f"frame {i + 1}/{n_frames} | keyframes={len(sys_.kfs)} | "
+                f"map_points={sys_.map.num_points} | edges={len(sys_.edges)}"
+            )
     sys_.finalize()
     dt = time.perf_counter() - t0
+    if use_scan:
+        # per-frame lines (reference format) from the drained chunk metrics
+        for m in sys_.metrics:
+            print(
+                f"frame {m['frame'] + 1}/{n_frames} | "
+                f"kf={m.get('keyframe', False)} | "
+                f"tracks={m.get('tracks', 0)} | "
+                f"map_points={m.get('map_points', 0)}"
+            )
+
+    def _map_xyz():
+        return sys_.map.xyz() if not use_scan else sys_.map_xyz
 
     out = Path(args.out)
     out.mkdir(parents=True, exist_ok=True)
@@ -121,7 +146,7 @@ def main(argv=None) -> int:
 
         k = min(cfg.mesh_sparse.kf, len(sys_.kfs) - 1)
         verts, faces = mesh_mod.build_sparse_mesh(
-            K, sys_.kfs[k], sys_.map.xyz(),
+            K, sys_.kfs[k], _map_xyz(),
             max_points=cfg.mesh_sparse.max_points,
             grid_px=cfg.mesh_sparse.grid_px,
             max_edge_px=cfg.mesh_sparse.max_edge_px,
@@ -150,7 +175,7 @@ def main(argv=None) -> int:
 
     if cfg.visuals:
         visuals.render_input_montage(grays, out / "input_montage.png")
-        visuals.render_sparse_cloud(sys_.map.xyz(), out / "sparse_pointcloud.png")
+        visuals.render_sparse_cloud(_map_xyz(), out / "sparse_pointcloud.png")
         visuals.render_trajectory(
             np.stack([kf.center for kf in sys_.kfs]), out / "camera_trajectory.png"
         )

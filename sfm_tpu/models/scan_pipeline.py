@@ -1,0 +1,889 @@
+"""Device-resident SfM frame loop: ``lax.scan`` over frame chunks.
+
+TPU-native re-design of the reference's per-frame orchestrator loop
+(reference: cpp/src/templering_sfm.cpp:1708-1871 main frame loop;
+python/src/templering_sfm.py:1022-1059 ``ClassicSystem.process``) as ONE
+compiled program per chunk of frames. The host-driven pipeline in
+``models/system.py`` pays ~30 ms of device→host latency per pull with
+5-7 pulls per keyframe (pyramid/KLT sync, two-view pull, snapshot pull,
+fused-keyframe pull, BA pull) — the dominant cost of the whole run. Here
+the ENTIRE per-frame pipeline (pyramid build → KLT tracking → two-view
+LO-RANSAC → keyframe policy → edge RANSAC + scale propagation + PnP →
+first-vs-last triangulation → map/observation bookkeeping → sliding
+window Schur-LM BA → loop-closure descriptor scoring) runs device-side
+under ``lax.scan``; the host uploads a chunk of images, receives one
+small per-frame metrics array back, and only intervenes between chunks
+(loop-closure verification + pose-graph solve, which fire rarely).
+
+Device state design (SURVEY §7 "fixed-capacity state"):
+  * track table        (T,)    — TrackerState from models/tracker.py
+  * keyframe ring      (K,)    — pose, frame idx, full (T,)-slot snapshot
+                                 (uv/ids/valid), per-slot point ids, the
+                                 32x32 loop descriptor, and the incoming
+                                 odometry edge
+  * map point table    (P,3)   — cursor-allocated, never compacted
+  * per-slot overlays  (T,)    — current point id, first-observation
+                                 (kf, uv) for deferred triangulation
+
+Observations are NOT stored in a separate grow-only list (the host
+pipeline's MapState): the keyframe ring's per-slot point-id matrix
+``pid (K,T)`` IS the observation table — entry (k,s) with ``pid>=0``
+means keyframe k observed point ``pid`` at ``uv[k,s]``. Triangulating a
+track backfills its id into every earlier ring row where the same track
+id occupied slot s (full track-history semantics, ref py:935-975), so
+window BA reads its observation set with plain gathers and zero host
+bookkeeping.
+
+Keyframe decisions are data-dependent control flow: on device they are a
+scalar-predicate ``lax.cond`` (compiled to a real conditional, so
+non-keyframes skip the heavy geometry), replacing the reference's
+``if make_kf`` (py:915-920, cpp:1765).
+"""
+
+from __future__ import annotations
+
+import logging
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sfm_tpu.config import SystemConfig, TranslationMode
+from sfm_tpu.models import tracker
+from sfm_tpu.models.mapstate import Edge, Keyframe
+from sfm_tpu.ops import (ba as ba_ops, descriptors, epipolar, features,
+                         klt, pnp as pnp_ops, triangulate)
+
+log = logging.getLogger("sfm_tpu")
+
+f32 = jnp.float32
+i32 = jnp.int32
+
+# per-frame metrics vector layout (the only per-frame device→host data)
+Y_FRAME, Y_VALID, Y_KF, Y_OK, Y_INL, Y_PAR, Y_ALIVE, Y_NPTS, \
+    Y_LOOP_S, Y_LOOP_K, Y_BA0, Y_BA1, Y_EDGE_INL, Y_SCALE, Y_PNP_INL, \
+    Y_NEW_PTS = range(16)
+NY = 16
+
+
+class KeyframeRing(NamedTuple):
+    """Fixed-capacity keyframe store, indexed by absolute kf_id.
+
+    Capacity K bounds the number of keyframes per run segment (chosen by
+    the host as next_pow2(n_frames) — every frame can be a keyframe)."""
+
+    R_cw: jnp.ndarray      # (K,3,3) camera-to-world rotation
+    t_cw: jnp.ndarray      # (K,3)   camera center
+    frame: jnp.ndarray     # (K,)    i32 source frame index
+    kvalid: jnp.ndarray    # (K,)    bool
+    uv: jnp.ndarray        # (K,T,2) track-table snapshot
+    ids: jnp.ndarray       # (K,T)   i32
+    tvalid: jnp.ndarray    # (K,T)   bool
+    pid: jnp.ndarray       # (K,T)   i32 point id observed at slot (-1 none)
+    desc: jnp.ndarray      # (K,D)   32x32 global loop descriptor
+    e_Rji: jnp.ndarray     # (K,3,3) odometry edge (k-1)->k
+    e_tji: jnp.ndarray     # (K,3)
+    e_inl: jnp.ndarray     # (K,)    i32
+    e_valid: jnp.ndarray   # (K,)    bool
+
+
+class ScanCarry(NamedTuple):
+    trk: tracker.TrackerState
+    prev_pyr: tuple        # image pyramid of the previous frame
+    R_cw: jnp.ndarray      # (3,3) current camera-to-world pose
+    t_cw: jnp.ndarray      # (3,)
+    last_kf_frame: jnp.ndarray  # () i32
+    kf_count: jnp.ndarray  # () i32
+    slot_pid: jnp.ndarray  # (T,) i32 current map point per track slot
+    fo_kf: jnp.ndarray     # (T,) i32 first-observation keyframe (-1 none)
+    fo_uv: jnp.ndarray     # (T,2)
+    ring: KeyframeRing
+    X: jnp.ndarray         # (P,3) map point table
+    n_pts: jnp.ndarray     # () i32 allocation cursor
+    key: jnp.ndarray       # PRNG key
+
+
+def _empty_ring(K: int, T: int) -> KeyframeRing:
+    return KeyframeRing(
+        R_cw=jnp.tile(jnp.eye(3, dtype=f32), (K, 1, 1)),
+        t_cw=jnp.zeros((K, 3), f32),
+        frame=-jnp.ones((K,), i32),
+        kvalid=jnp.zeros((K,), bool),
+        uv=jnp.zeros((K, T, 2), f32),
+        ids=-jnp.ones((K, T), i32),
+        tvalid=jnp.zeros((K, T), bool),
+        pid=-jnp.ones((K, T), i32),
+        desc=jnp.zeros((K, descriptors.DESC_DIM), f32),
+        e_Rji=jnp.tile(jnp.eye(3, dtype=f32), (K, 1, 1)),
+        e_tji=jnp.zeros((K, 3), f32),
+        e_inl=jnp.zeros((K,), i32),
+        e_valid=jnp.zeros((K,), bool),
+    )
+
+
+@partial(jax.jit, static_argnames=("cfg", "kf_cap", "p_cap"))
+def bootstrap_carry(cfg: SystemConfig, kf_cap: int, p_cap: int,
+                    img0, idx0, key) -> ScanCarry:
+    """First frame: detect corners, register keyframe 0 (ref py:1022-1028
+    bootstrap branch)."""
+    T = cfg.klt.max_tracks
+    pyr = tuple(jnp.asarray(p) for p in
+                _build_pyr(img0, cfg.klt.pyr_levels))
+    trk = tracker.bootstrap(pyr[0], cfg.klt)
+    ring = _empty_ring(kf_cap, T)
+    desc = descriptors.global_desc_32(pyr[0])
+    ring = ring._replace(
+        frame=ring.frame.at[0].set(idx0.astype(i32)),
+        kvalid=ring.kvalid.at[0].set(True),
+        uv=ring.uv.at[0].set(trk.pos.astype(f32)),
+        ids=ring.ids.at[0].set(trk.ids),
+        tvalid=ring.tvalid.at[0].set(trk.valid),
+        desc=ring.desc.at[0].set(desc.astype(f32)),
+    )
+    return ScanCarry(
+        trk=trk,
+        prev_pyr=pyr,
+        R_cw=jnp.eye(3, dtype=f32),
+        t_cw=jnp.zeros(3, f32),
+        last_kf_frame=idx0.astype(i32),
+        kf_count=jnp.ones((), i32),
+        slot_pid=-jnp.ones((T,), i32),
+        fo_kf=jnp.where(trk.valid, 0, -1).astype(i32),
+        fo_uv=trk.pos.astype(f32),
+        ring=ring,
+        X=jnp.zeros((p_cap, 3), f32),
+        n_pts=jnp.zeros((), i32),
+        key=key,
+    )
+
+
+def _build_pyr(img, levels: int):
+    from sfm_tpu.ops import image as im
+
+    return tuple(im.build_pyramid(img.astype(f32), levels))
+
+
+def _wc(R_cw, t_cw):
+    """cam→world pose to world→cam."""
+    R_wc = jnp.swapaxes(R_cw, -1, -2)
+    t_wc = -jnp.einsum("...ij,...j->...i", R_wc, t_cw)
+    return R_wc, t_wc
+
+
+def _cw(R_wc, t_wc):
+    R_cw = jnp.swapaxes(R_wc, -1, -2)
+    t_cw = -jnp.einsum("...ij,...j->...i", R_cw, t_wc)
+    return R_cw, t_cw
+
+
+def _window_ba(cfg: SystemConfig, p_ba: int, Kf, ring: KeyframeRing,
+               X, n_pts, kf_id):
+    """Sliding-window Schur-LM BA over the keyframe ring (ref cpp:848-1097
+    window semantics). The observation set is read straight out of the
+    ring's (K,T) pid matrix — no host-side selection pass.
+
+    Returns (ring', X', R_cw_cur, t_cw_cur, cost0, cost)."""
+    W = cfg.ba.window
+    K = ring.pid.shape[0]
+    P_CAP = X.shape[0]
+    T = ring.pid.shape[1]
+
+    w_start = jnp.maximum(kf_id - (W - 1), 0)
+    w_idx = w_start + jnp.arange(W, dtype=i32)          # (W,)
+    row_ok = w_idx <= kf_id
+    gidx = jnp.clip(w_idx, 0, K - 1)
+    R_wc, t_wc = _wc(ring.R_cw[gidx], ring.t_cw[gidx])  # (W,3,3),(W,3)
+
+    pid_w = ring.pid[gidx]                              # (W,T)
+    uv_w = ring.uv[gidx]                                # (W,T,2)
+    ov_w = ring.tvalid[gidx] & (pid_w >= 0) & row_ok[:, None]
+
+    pid_flat = pid_w.reshape(-1)
+    ov_flat = ov_w.reshape(-1)
+    # per-point window observation counts (one scatter per keyframe)
+    cnt = jax.ops.segment_sum(
+        ov_flat.astype(i32), jnp.clip(pid_flat, 0, P_CAP - 1),
+        num_segments=P_CAP,
+    )
+    elig = (cnt >= 2) & (jnp.arange(P_CAP) < n_pts)
+    # best-observed selection, capped at max_points (ref py:733-739 /
+    # cpp:881); top_k sorts descending so the cap keeps the best
+    score = jnp.where(elig, cnt.astype(f32), -1.0)
+    top_c, loc_pid = jax.lax.top_k(score, p_ba)
+    loc_ok = (top_c > 0) & (jnp.arange(p_ba) < cfg.ba.max_points)
+    inv = jnp.full((P_CAP,), -1, i32).at[
+        jnp.where(loc_ok, loc_pid, P_CAP)
+    ].set(jnp.arange(p_ba, dtype=i32), mode="drop")
+    lp = inv[jnp.clip(pid_flat, 0, P_CAP - 1)]          # (W*T,)
+    obs_ok = ov_flat & (pid_flat >= 0) & (lp >= 0)
+
+    cam_idx = jnp.repeat(jnp.arange(W, dtype=i32), T)
+    obs_n = epipolar.normalize_by_K(Kf, uv_w.reshape(-1, 2))
+    Xl = X[jnp.clip(loc_pid, 0, P_CAP - 1)]
+
+    prob = ba_ops.BAProblem(
+        R_wc=R_wc, t_wc=t_wc, X=Xl,
+        cam_idx=cam_idx, pid_idx=jnp.clip(lp, 0, p_ba - 1),
+        obs=obs_n, obs_valid=obs_ok, point_valid=loc_ok,
+    )
+    fx = Kf[0, 0]
+    Rn, tn, Xn, info = ba_ops.bundle_adjust(
+        prob, iters=cfg.ba.iters, lambda0=cfg.ba.lambda0,
+        huber_delta=cfg.ba.huber_delta / fx, n_fix=1,
+        update_points=cfg.ba.update_points,
+    )
+    R_cw_n, t_cw_n = _cw(Rn, tn)
+    sidx = jnp.where(row_ok, w_idx, K)
+    ring = ring._replace(
+        R_cw=ring.R_cw.at[sidx].set(R_cw_n, mode="drop"),
+        t_cw=ring.t_cw.at[sidx].set(t_cw_n, mode="drop"),
+    )
+    if cfg.ba.update_points:
+        X = X.at[jnp.where(loc_ok, loc_pid, P_CAP)].set(Xn, mode="drop")
+    cur = kf_id - w_start
+    return (ring, X, R_cw_n[cur], t_cw_n[cur],
+            info["cost0"], info["cost"])
+
+
+def _keyframe_branch(cfg: SystemConfig, p_ba: int, Kf, args):
+    """All keyframe-time geometry + bookkeeping, device-side (ref
+    py:951-988 add_keyframe / cpp:1765-1871 keyframe block)."""
+    carry, idx, k_edge = args
+    ring = carry.ring
+    K = ring.pid.shape[0]
+    P_CAP = carry.X.shape[0]
+    kf_id = carry.kf_count                      # bootstrap wrote kf 0
+    prev_i = kf_id - 1
+
+    uv = carry.trk.pos.astype(f32)
+    ids = carry.trk.ids
+    tval = carry.trk.valid
+
+    # --- odometry-edge LO-RANSAC vs the previous keyframe snapshot -----
+    # (ref cpp:1782-1798; slot-aligned id match replaces matching)
+    puv = ring.uv[prev_i]
+    shared = ring.tvalid[prev_i] & tval & (ring.ids[prev_i] == ids)
+    R_cw_i, t_cw_i = ring.R_cw[prev_i], ring.t_cw[prev_i]
+    R_wc_i, t_wc_i = _wc(R_cw_i, t_cw_i)
+    xi = epipolar.normalize_by_K(Kf, puv)
+    xj = epipolar.normalize_by_K(Kf, uv)
+    rp = epipolar.find_E_ransac(
+        k_edge, xi, xj, shared,
+        num_hypotheses=cfg.ransac.num_hypotheses,
+        sampson_thresh=cfg.ransac.sampson_thresh,
+        min_inliers=cfg.ransac.min_inliers,
+    )
+    # chain fallback: relative pose from the composed frame-to-frame chain
+    R_wj = carry.R_cw.T
+    R_chain = R_wj @ R_cw_i
+    t_chain = R_wj @ (t_cw_i - carry.t_cw)
+    t_chain_u = t_chain / (jnp.linalg.norm(t_chain) + 1e-12)
+    R_e = jnp.where(rp.ok, rp.R, R_chain)
+    t_eu = jnp.where(rp.ok, rp.t, t_chain_u)
+
+    # --- monocular scale propagation from mapped tracks (1-dof robust
+    # LS; twin of system._keyframe_fused_stage) -------------------------
+    pid_ok = tval & (carry.slot_pid >= 0)
+    Xs = carry.X[jnp.clip(carry.slot_pid, 0, P_CAP - 1)]
+    Xi_cam = Xs @ R_wc_i.T + t_wc_i
+    w3 = Xi_cam @ R_e.T
+    a = t_eu[None, :2] - xj * t_eu[2]
+    b = xj * w3[:, 2:3] - w3[:, :2]
+    den = jnp.sum(a * a, axis=-1)
+    good = pid_ok & (Xi_cam[:, 2] > 1e-6) & (den > 1e-10)
+    sols = jnp.sum(a * b, axis=-1) / jnp.where(den > 1e-10, den, 1.0)
+    s_est = jnp.nan_to_num(
+        jnp.nanmedian(jnp.where(good, sols, jnp.nan)), nan=1.0)
+    s_map = jnp.where((jnp.sum(good) >= 5) & (s_est > 1e-6), s_est, 1.0)
+
+    # --- anchored pose + PnP refinement against the map ----------------
+    R_a = R_e @ R_wc_i
+    t_a = R_e @ t_wc_i + s_map * t_eu
+    fx = Kf[0, 0]
+    R_p, t_p, pnp_info = pnp_ops.refine_pose(
+        R_a, t_a, Xs, xj, pid_ok, iters=10,
+        huber_delta=cfg.ba.huber_delta / fx,
+    )
+    use_pnp = pnp_info["inliers"] >= 30
+    R_f = jnp.where(use_pnp, R_p, R_a)
+    t_f = jnp.where(use_pnp, t_p, t_a)
+    R_ji = R_f @ R_wc_i.T
+    t_ji = t_f - R_ji @ t_wc_i
+    R_cw_new, t_cw_new = _cw(R_f, t_f)
+
+    # --- first-vs-last triangulation of unmapped tracks ----------------
+    # (ref py:935-949 / cpp:1801-1813, with the refined pose)
+    tri_cand = tval & (carry.slot_pid < 0) & (carry.fo_kf >= 0)
+    fo = jnp.clip(carry.fo_kf, 0, K - 1)
+    R_wc_f, t_wc_f = _wc(ring.R_cw[fo], ring.t_cw[fo])  # (T,3,3),(T,3)
+    xa = epipolar.normalize_by_K(Kf, carry.fo_uv)
+    T = uv.shape[0]
+    Rb = jnp.broadcast_to(R_f, (T, 3, 3))
+    tb = jnp.broadcast_to(t_f, (T, 3))
+    X3, za, zb = triangulate.triangulate_dlt(R_wc_f, t_wc_f, xa, Rb, tb, xj)
+    err_a = triangulate.reprojection_error(R_wc_f, t_wc_f, X3, xa)
+    err_b = triangulate.reprojection_error(Rb, tb, X3, xj)
+    ok_tri = (tri_cand & (za > 1e-6) & (zb > 1e-6)
+              & (err_a < 0.01) & (err_b < 0.01))
+
+    # --- cursor allocation of new point ids ----------------------------
+    new_pid = carry.n_pts + jnp.cumsum(ok_tri, dtype=i32) - 1
+    ok_new = ok_tri & (new_pid < P_CAP)
+    widx = jnp.where(ok_new, new_pid, P_CAP)
+    X = carry.X.at[widx].set(X3.astype(f32), mode="drop")
+    slot_pid = jnp.where(ok_new, new_pid, carry.slot_pid)
+    n_pts = carry.n_pts + jnp.sum(ok_new, dtype=i32)
+
+    # --- first-observation registration for fresh tracks ---------------
+    fresh = tval & (slot_pid < 0) & (carry.fo_kf < 0)
+    fo_kf = jnp.where(fresh, kf_id, carry.fo_kf)
+    fo_uv = jnp.where(fresh[:, None], uv, carry.fo_uv)
+
+    # --- snapshot + edge into the ring ---------------------------------
+    desc = descriptors.global_desc_32(carry.prev_pyr[0])
+    t_store = t_ji
+    if cfg.translation_mode != TranslationMode.FULL:
+        n = jnp.linalg.norm(t_ji)
+        t_store = jnp.where(n > 1e-12, t_ji / jnp.maximum(n, 1e-12), t_ji)
+    ring = ring._replace(
+        R_cw=ring.R_cw.at[kf_id].set(R_cw_new),
+        t_cw=ring.t_cw.at[kf_id].set(t_cw_new),
+        frame=ring.frame.at[kf_id].set(idx.astype(i32)),
+        kvalid=ring.kvalid.at[kf_id].set(True),
+        uv=ring.uv.at[kf_id].set(uv),
+        ids=ring.ids.at[kf_id].set(ids),
+        tvalid=ring.tvalid.at[kf_id].set(tval),
+        pid=ring.pid.at[kf_id].set(jnp.where(tval, slot_pid, -1)),
+        desc=ring.desc.at[kf_id].set(desc.astype(f32)),
+        e_Rji=ring.e_Rji.at[kf_id].set(R_ji.astype(f32)),
+        e_tji=ring.e_tji.at[kf_id].set(t_store.astype(f32)),
+        e_inl=ring.e_inl.at[kf_id].set(rp.num_inliers),
+        e_valid=ring.e_valid.at[kf_id].set(True),
+    )
+    # --- observation backfill: newly triangulated points get their id
+    # written into every earlier ring row where the same track id held
+    # slot s (full track history, ref py:935-975) ------------------------
+    karange = jnp.arange(K, dtype=i32)[:, None]
+    cond_bf = (
+        ok_new[None, :]
+        & (ring.ids == ids[None, :])
+        & ring.tvalid
+        & (karange >= fo_kf[None, :])
+        & (karange < kf_id)
+        & ring.kvalid[:, None]
+    )
+    ring = ring._replace(
+        pid=jnp.where(cond_bf, new_pid[None, :], ring.pid))
+
+    # --- sliding-window BA ---------------------------------------------
+    ring, X, R_cw_cur, t_cw_cur, ba0, ba1 = _window_ba(
+        cfg, p_ba, Kf, ring, X, n_pts, kf_id)
+
+    # --- loop-closure candidate scoring (cpp:1827-1831); verification is
+    # a host-side per-chunk step (it fires rarely) ----------------------
+    cand = (karange[:, 0] <= kf_id - cfg.loop.min_kf_gap) & ring.kvalid
+    scores = jnp.where(cand, ring.desc @ desc, -jnp.inf)
+    best_k = jnp.argmax(scores)
+    best_s = scores[best_k]
+
+    carry = carry._replace(
+        R_cw=R_cw_cur, t_cw=t_cw_cur,
+        last_kf_frame=idx.astype(i32),
+        kf_count=kf_id + 1,
+        slot_pid=slot_pid, fo_kf=fo_kf, fo_uv=fo_uv,
+        ring=ring, X=X, n_pts=n_pts,
+    )
+    ykf = jnp.stack([
+        jnp.float32(1.0),
+        jnp.where(jnp.isfinite(best_s), best_s, -1.0).astype(f32),
+        best_k.astype(f32),
+        ba0.astype(f32), ba1.astype(f32),
+        rp.num_inliers.astype(f32),
+        s_map.astype(f32),
+        pnp_info["inliers"].astype(f32),
+        jnp.sum(ok_new).astype(f32),
+    ])
+    return carry, ykf
+
+
+def _no_kf_branch(cfg, p_ba, Kf, args):
+    carry, idx, k_edge = args
+    ykf = jnp.concatenate([
+        jnp.zeros((1,), f32),
+        jnp.array([-1.0, -1.0], f32),
+        jnp.zeros((6,), f32),
+    ])
+    return carry, ykf
+
+
+@partial(jax.jit, static_argnames=("cfg", "p_ba"),
+         donate_argnames=("carry",))
+def run_chunk(cfg: SystemConfig, p_ba: int, Kf, carry: ScanCarry,
+              imgs, idxs, fvalid):
+    """Process a chunk of frames in ONE device program.
+
+    imgs (C,H,W) u8/f32; idxs (C,) i32 frame indices; fvalid (C,) bool
+    marks padding frames (no-ops), so every chunk invocation reuses one
+    compiled program regardless of tail length."""
+
+    def frame_step(carry, inp):
+        img, idx, fval = inp
+
+        def do(carry):
+            pyr = _build_pyr(img, cfg.klt.pyr_levels)
+            trk, prev_pos, matched = tracker.step(
+                carry.prev_pyr, pyr, carry.trk, cfg.klt)
+            # track death / replenish clears slot associations
+            slot_pid = jnp.where(matched, carry.slot_pid, -1)
+            fo_kf = jnp.where(matched, carry.fo_kf, -1)
+            key, k1, k2 = jax.random.split(carry.key, 3)
+            xi = epipolar.normalize_by_K(Kf, prev_pos.astype(f32))
+            xj = epipolar.normalize_by_K(Kf, trk.pos.astype(f32))
+            rp = epipolar.find_E_ransac(
+                k1, xi, xj, matched,
+                num_hypotheses=cfg.ransac.num_hypotheses,
+                sampson_thresh=cfg.ransac.sampson_thresh,
+                min_inliers=cfg.ransac.min_inliers,
+            )
+            flow = jnp.linalg.norm(trk.pos - prev_pos, axis=-1)
+            parallax = jnp.nan_to_num(
+                jnp.nanmedian(jnp.where(matched, flow, jnp.nan)))
+            # frame-to-frame pose compose T_cw' = T_cw ∘ T_ji^{-1}
+            # (ref py:117-127, py:1044); unit-scale between keyframes —
+            # the keyframe stage re-derives metric scale from the map
+            R_cw_n = jnp.where(rp.ok, carry.R_cw @ rp.R.T, carry.R_cw)
+            t_cw_n = jnp.where(
+                rp.ok,
+                carry.R_cw @ (-rp.R.T @ rp.t) + carry.t_cw,
+                carry.t_cw,
+            )
+            gap = idx - carry.last_kf_frame
+            make_kf = (~rp.ok) | (
+                (gap >= cfg.keyframe.min_gap)
+                & ((parallax >= cfg.keyframe.parallax_px)
+                   | (rp.num_inliers < cfg.keyframe.min_inliers))
+            )
+            carry = carry._replace(
+                trk=trk, prev_pyr=pyr, R_cw=R_cw_n, t_cw=t_cw_n,
+                slot_pid=slot_pid, fo_kf=fo_kf, key=key)
+            carry, ykf = jax.lax.cond(
+                make_kf,
+                partial(_keyframe_branch, cfg, p_ba, Kf),
+                partial(_no_kf_branch, cfg, p_ba, Kf),
+                (carry, idx, k2),
+            )
+            y = jnp.concatenate([
+                jnp.stack([
+                    idx.astype(f32), jnp.float32(1.0), ykf[0],
+                    rp.ok.astype(f32), rp.num_inliers.astype(f32),
+                    parallax.astype(f32),
+                    jnp.sum(matched).astype(f32),
+                    carry.n_pts.astype(f32),
+                ]),
+                ykf[1:3],          # loop score / loop candidate kf
+                ykf[3:5],          # BA cost before/after
+                ykf[5:6],          # edge inliers
+                ykf[6:7],          # propagated scale
+                ykf[7:8],          # PnP inliers
+                ykf[8:9],          # newly triangulated points
+            ])
+            return carry, y
+
+        def skip(carry):
+            return carry, jnp.zeros((NY,), f32)
+
+        return jax.lax.cond(fval, do, skip, carry)
+
+    carry, ys = jax.lax.scan(frame_step, carry, (imgs, idxs, fvalid))
+    return carry, ys
+
+
+# ---------------------------------------------------------------------------
+# Host wrapper
+# ---------------------------------------------------------------------------
+
+
+def _next_pow2(n: int, lo: int = 8) -> int:
+    p = lo
+    while p < n:
+        p *= 2
+    return p
+
+
+class ScanSfM:
+    """Host orchestrator for the device-resident pipeline.
+
+    Per chunk of frames: one ``run_chunk`` dispatch + one small metrics
+    pull. Between chunks: loop-closure verification + SE(3) pose graph
+    (host-driven, rare). At the end: drain the ring, global BA, export.
+
+    Mirrors the external surface of ``models/system.SfMSystem`` (kfs /
+    edges / metrics / export) so eval tooling is shared.
+    """
+
+    def __init__(self, K: np.ndarray, cfg: SystemConfig,
+                 n_frames: int | None = None, chunk: int = 16,
+                 p_cap: int = 16384, p_ba: int = 1024):
+        if cfg.use_gt_scale:
+            raise NotImplementedError(
+                "use_gt_scale requires the host pipeline (models/system.py)")
+        self.K = np.asarray(K, np.float64)
+        self._Kj = jnp.asarray(self.K, f32)
+        self.cfg = cfg
+        self.chunk = int(chunk)
+        self.kf_cap = _next_pow2((n_frames or cfg.frames) + 1, lo=16)
+        self.p_cap = int(p_cap)
+        self.p_ba = min(int(p_ba), self.p_cap)
+        self.carry: ScanCarry | None = None
+        self.metrics: list[dict] = []
+        self.loop_edges: list[Edge] = []
+        self._images: list[np.ndarray] = []  # for loop-closure verify
+        self._names: list[str] = []
+        self._pending: list[tuple[int, str, np.ndarray]] = []
+        self.kfs: list[Keyframe] = []
+        self.edges: list[Edge] = []
+        self._n_loop_checked = 0
+
+    # -- streaming interface -------------------------------------------
+    def process(self, frame_idx: int, img_name: str,
+                gray_u8: np.ndarray) -> None:
+        self._images.append(np.asarray(gray_u8))
+        self._names.append(img_name)
+        if self.carry is None:
+            key = jax.random.PRNGKey(self.cfg.ransac.seed)
+            self.carry = bootstrap_carry(
+                self.cfg, self.kf_cap, self.p_cap,
+                jnp.asarray(gray_u8), jnp.asarray(frame_idx, i32), key)
+            self.metrics.append(
+                {"frame": frame_idx, "image": img_name, "keyframe": True,
+                 "tracks": int(self.cfg.klt.max_tracks)})
+            return
+        self._pending.append((frame_idx, img_name, gray_u8))
+        if len(self._pending) >= self.chunk:
+            self._flush()
+
+    def _flush(self) -> None:
+        if not self._pending:
+            return
+        C = self.chunk
+        H, W = self._pending[0][2].shape
+        imgs = np.zeros((C, H, W), self._pending[0][2].dtype)
+        idxs = np.zeros((C,), np.int32)
+        fvalid = np.zeros((C,), bool)
+        for k, (idx, _, g) in enumerate(self._pending):
+            imgs[k] = g
+            idxs[k] = idx
+            fvalid[k] = True
+        names = {idx: name for idx, name, _ in self._pending}
+        self._pending = []
+        self.carry, ys = run_chunk(
+            self.cfg, self.p_ba, self._Kj, self.carry,
+            jnp.asarray(imgs), jnp.asarray(idxs), jnp.asarray(fvalid))
+        ys = np.asarray(ys, np.float64)  # the chunk's single D2H pull
+        for row in ys:
+            if row[Y_VALID] < 0.5:
+                continue
+            fi = int(row[Y_FRAME])
+            met = {
+                "frame": fi,
+                "image": names.get(fi, ""),
+                "keyframe": bool(row[Y_KF] > 0.5),
+                "inliers": int(row[Y_INL]),
+                "parallax": float(row[Y_PAR]),
+                "tracks": int(row[Y_ALIVE]),
+                "map_points": int(row[Y_NPTS]),
+            }
+            if row[Y_KF] > 0.5:
+                met["loop_score"] = float(row[Y_LOOP_S])
+                met["loop_cand"] = int(row[Y_LOOP_K])
+                met["ba_cost0"] = float(row[Y_BA0])
+                met["ba_cost"] = float(row[Y_BA1])
+            self.metrics.append(met)
+            log.info(
+                "frame %d | kf=%s | inliers=%d | parallax=%.2f | "
+                "tracks=%d | map_points=%d",
+                fi, met["keyframe"], met.get("inliers", 0),
+                met.get("parallax", 0.0), met["tracks"],
+                met["map_points"],
+            )
+        self._check_loops(ys)
+
+    # -- loop closure + pose graph (between chunks) ---------------------
+    def _check_loops(self, ys: np.ndarray) -> None:
+        """Verify the best above-threshold loop candidate of the chunk
+        (ref cpp:1833-1859: re-detect + LK re-track + E-RANSAC gate),
+        then run the SE(3) pose graph and push corrected poses back into
+        the device carry."""
+        lcfg = self.cfg.loop
+        if not lcfg.enabled:
+            return
+        rows = ys[(ys[:, Y_VALID] > 0.5) & (ys[:, Y_KF] > 0.5)
+                  & (ys[:, Y_LOOP_S] > lcfg.score_thresh)]
+        if len(rows) == 0:
+            return
+        row = rows[np.argmax(rows[:, Y_LOOP_S])]
+        # identify the two keyframes: candidate kf id + the current one
+        ring = self.carry.ring
+        frames = np.asarray(ring.frame)
+        kvalid = np.asarray(ring.kvalid)
+        cand_kf = int(row[Y_LOOP_K])
+        cur_frame = int(row[Y_FRAME])
+        cur_kf_arr = np.nonzero(kvalid & (frames == cur_frame))[0]
+        if len(cur_kf_arr) == 0 or not kvalid[cand_kf]:
+            return
+        cur_kf = int(cur_kf_arr[0])
+        old_img = self._images[frames[cand_kf]]
+        new_img = self._images[cur_frame]
+        rp, n_tracked = self._verify_pair(old_img, new_img)
+        if rp is None:
+            log.info("loop candidate %d->%d rejected (tracked=%d)",
+                     cand_kf, cur_kf, n_tracked)
+            return
+        t_ji = rp.t.copy()
+        if self.cfg.translation_mode != TranslationMode.FULL:
+            n = np.linalg.norm(t_ji)
+            if n > 1e-12:
+                t_ji = t_ji / n
+        self.loop_edges.append(Edge(
+            i=cand_kf, j=cur_kf, R_ji=rp.R.copy(), t_ji=t_ji,
+            inliers=rp.num_inliers, is_loop=True,
+            w_rot=self.cfg.pose_graph.loop_weight,
+            w_trans=self.cfg.pose_graph.loop_weight,
+        ))
+        for met in reversed(self.metrics):
+            if met.get("frame") == cur_frame:
+                met["loop"] = (cand_kf, cur_kf)
+                break
+        log.info("loop closure %d -> %d (inliers %d)", cand_kf, cur_kf,
+                 rp.num_inliers)
+        self._pose_graph_pushback()
+
+    def _verify_pair(self, old_img, new_img):
+        from sfm_tpu.models.system import TwoView, _two_view_stage
+
+        lcfg = self.cfg.loop
+        kcfg = self.cfg.klt
+        pyr_old = _build_pyr(jnp.asarray(old_img), kcfg.pyr_levels)
+        pyr_new = _build_pyr(jnp.asarray(new_img), kcfg.pyr_levels)
+        xy, _, dvalid = features.detect_corners(
+            pyr_old[0], jnp.zeros((1, 2)), jnp.zeros(1, bool),
+            max_new=1024, cell=max(int(kcfg.min_distance), 2),
+            quality=kcfg.quality)
+        new_pts, ok = klt.lk_track_fb(
+            pyr_old, pyr_new, xy, dvalid,
+            levels=kcfg.pyr_levels, iters=kcfg.iters,
+            radius=kcfg.win_radius, fb_thresh=kcfg.fb_thresh)
+        n_tracked = int(np.asarray(jnp.sum(ok)))
+        if n_tracked < lcfg.min_tracked:
+            return None, n_tracked
+        key = jax.random.PRNGKey(self.cfg.ransac.seed + 7919)
+        rp = TwoView(_two_view_stage(
+            key, self._Kj, xy.astype(f32), new_pts.astype(f32), ok,
+            num_hypotheses=lcfg.ransac_iters,
+            sampson_thresh=lcfg.ransac_thresh,
+            min_inliers=lcfg.min_inliers))
+        if not rp.ok or rp.num_inliers < lcfg.min_inliers:
+            return None, n_tracked
+        return rp, n_tracked
+
+    def _drain_edges(self):
+        ring = self.carry.ring
+        n_kf = int(self.carry.kf_count)
+        e_R = np.asarray(ring.e_Rji, np.float64)
+        e_t = np.asarray(ring.e_tji, np.float64)
+        e_inl = np.asarray(ring.e_inl)
+        e_val = np.asarray(ring.e_valid)
+        edges = [
+            Edge(i=k - 1, j=k, R_ji=e_R[k], t_ji=e_t[k],
+                 inliers=int(e_inl[k]), is_loop=False)
+            for k in range(1, n_kf) if e_val[k]
+        ]
+        return edges + list(self.loop_edges)
+
+    def _pose_graph_pushback(self) -> None:
+        """SE(3)/centers pose graph over drained poses+edges; corrected
+        poses are pushed back into the device carry (ref py:990-1001 /
+        cpp:1862)."""
+        from sfm_tpu.ops import posegraph as pg_ops
+
+        pcfg = self.cfg.pose_graph
+        ring = self.carry.ring
+        n_kf = int(self.carry.kf_count)
+        edges = self._drain_edges()
+        if n_kf < 3 or len(edges) < 2:
+            return
+        Np = _next_pow2(n_kf, lo=8)
+        Ep = _next_pow2(len(edges), lo=8)
+        R_cw = np.asarray(ring.R_cw, np.float64)[:n_kf]
+        C = np.asarray(ring.t_cw, np.float64)[:n_kf]
+        R_cw = np.concatenate([R_cw, np.tile(np.eye(3), (Np - n_kf, 1, 1))])
+        C = np.concatenate([C, np.zeros((Np - n_kf, 3))])
+        e_i = np.zeros(Ep, np.int32)
+        e_j = np.zeros(Ep, np.int32)
+        R_meas = np.tile(np.eye(3), (Ep, 1, 1))
+        t_meas = np.zeros((Ep, 3))
+        t_meas[:, 2] = 1.0
+        w_rot = np.zeros(Ep)
+        w_trans = np.zeros(Ep)
+        valid = np.zeros(Ep, bool)
+        for k, e in enumerate(edges):
+            e_i[k], e_j[k] = e.i, e.j
+            R_meas[k], t_meas[k] = e.R_ji, e.t_ji
+            w_rot[k] = pcfg.w_rot * e.w_rot
+            w_trans[k] = pcfg.w_trans * e.w_trans
+            valid[k] = True
+        prob = pg_ops.PoseGraphProblem(
+            R_cw=jnp.asarray(R_cw), C=jnp.asarray(C),
+            e_i=jnp.asarray(e_i), e_j=jnp.asarray(e_j),
+            R_meas=jnp.asarray(R_meas), t_meas=jnp.asarray(t_meas),
+            w_rot=jnp.asarray(w_rot), w_trans=jnp.asarray(w_trans),
+            valid=jnp.asarray(valid),
+        )
+        if pcfg.mode == "centers":
+            R_new, C_new, _ = pg_ops.optimize_centers(prob)
+        else:
+            R_new, C_new, _ = pg_ops.optimize_se3(
+                prob, mode=self.cfg.translation_mode.value,
+                iters=pcfg.iters, lambda0=pcfg.lambda0)
+        R_new = np.asarray(R_new, np.float32)[:n_kf]
+        C_new = np.asarray(C_new, np.float32)[:n_kf]
+        ring_R = np.asarray(ring.R_cw).copy()
+        ring_t = np.asarray(ring.t_cw).copy()
+        ring_R[:n_kf] = R_new
+        ring_t[:n_kf] = C_new
+        self.carry = self.carry._replace(
+            ring=ring._replace(R_cw=jnp.asarray(ring_R),
+                               t_cw=jnp.asarray(ring_t)),
+            R_cw=jnp.asarray(R_new[n_kf - 1]),
+            t_cw=jnp.asarray(C_new[n_kf - 1]),
+        )
+
+    # -- finalize + export ---------------------------------------------
+    def finalize(self) -> None:
+        """Flush, drain the device state, run the global BA, and build
+        the host-side keyframe/edge views (export parity with
+        models/system.SfMSystem)."""
+        self._flush()
+        ring = self.carry.ring
+        n_kf = int(self.carry.kf_count)
+        n_pts = int(self.carry.n_pts)
+        # one bulk drain
+        R_cw = np.asarray(ring.R_cw, np.float64)[:n_kf]
+        t_cw = np.asarray(ring.t_cw, np.float64)[:n_kf]
+        frames = np.asarray(ring.frame)[:n_kf]
+        uv = np.asarray(ring.uv, np.float64)[:n_kf]
+        ids = np.asarray(ring.ids)[:n_kf]
+        tvalid = np.asarray(ring.tvalid)[:n_kf]
+        pid = np.asarray(ring.pid)[:n_kf]
+        desc = np.asarray(ring.desc, np.float64)[:n_kf]
+        X = np.asarray(self.carry.X, np.float64)[:n_pts]
+
+        # global BA over the full drained problem
+        if self.cfg.ba.global_iters > 0 and n_kf >= 3 and n_pts >= 10:
+            R_cw, t_cw, X = self._global_ba(
+                R_cw, t_cw, pid, uv, tvalid, X)
+
+        self.kfs = [
+            Keyframe(kf_id=k, frame_idx=int(frames[k]),
+                     img_name=self._names[int(frames[k])],
+                     R_cw=R_cw[k], t_cw=t_cw[k], ids=ids[k], uv=uv[k],
+                     valid=tvalid[k], desc=desc[k])
+            for k in range(n_kf)
+        ]
+        self.edges = self._drain_edges()
+        self._X = X
+        self._ring_pid = pid  # (n_kf, T) observation matrix, for tooling
+
+    def _global_ba(self, R_cw, t_cw, pid, uv, tvalid, X):
+        """Full-problem Schur-LM refinement (no reference counterpart —
+        the batched solver makes it cheap; see system._run_global_ba)."""
+        from sfm_tpu.utils import np_geom
+
+        n_kf, T = pid.shape
+        n_pts = len(X)
+        ok = tvalid & (pid >= 0) & (pid[:, :] < n_pts)
+        kk, ss = np.nonzero(ok)
+        m = len(kk)
+        if m < 30:
+            return R_cw, t_cw, X
+        F = _next_pow2(n_kf, lo=8)
+        P = _next_pow2(n_pts, lo=1024)
+        M = _next_pow2(m, lo=4096)
+        cam_idx = np.zeros(M, np.int32)
+        pidx = np.zeros(M, np.int32)
+        obs_n = np.zeros((M, 2))
+        ovalid = np.zeros(M, bool)
+        cam_idx[:m] = kk
+        pidx[:m] = pid[kk, ss]
+        obs_n[:m] = np_geom.normalize_by_K(self.K, uv[kk, ss])
+        ovalid[:m] = True
+        Xp = np.zeros((P, 3))
+        Xp[:n_pts] = X
+        pvalid = np.zeros(P, bool)
+        pvalid[:n_pts] = True
+        R_wc = np.swapaxes(R_cw, -1, -2)
+        t_wc = -np.einsum("fij,fj->fi", R_wc, t_cw)
+        R_wc = np.concatenate([R_wc, np.tile(np.eye(3), (F - n_kf, 1, 1))])
+        t_wc = np.concatenate([t_wc, np.zeros((F - n_kf, 3))])
+        prob = ba_ops.BAProblem(
+            R_wc=jnp.asarray(R_wc, f32), t_wc=jnp.asarray(t_wc, f32),
+            X=jnp.asarray(Xp, f32),
+            cam_idx=jnp.asarray(cam_idx), pid_idx=jnp.asarray(pidx),
+            obs=jnp.asarray(obs_n, f32), obs_valid=jnp.asarray(ovalid),
+            point_valid=jnp.asarray(pvalid),
+        )
+        fx = float(self.K[0, 0])
+        Rn, tn, Xn, info = ba_ops.bundle_adjust(
+            prob, iters=self.cfg.ba.global_iters,
+            lambda0=self.cfg.ba.lambda0,
+            huber_delta=self.cfg.ba.huber_delta / fx, n_fix=1,
+            update_points=True)
+        Rn = np.asarray(Rn, np.float64)[:n_kf]
+        tn = np.asarray(tn, np.float64)[:n_kf]
+        Xn = np.asarray(Xn, np.float64)[:n_pts]
+        R_cw = np.swapaxes(Rn, -1, -2)
+        t_cw = -np.einsum("fij,fj->fi", R_cw, tn)
+        log.info("global BA: cost %.3e -> %.3e (%d kfs, %d pts, %d obs)",
+                 float(info["cost0"]), float(info["cost"]), n_kf, n_pts, m)
+        return R_cw, t_cw, Xn
+
+    @property
+    def map_xyz(self) -> np.ndarray:
+        return self._X
+
+    def export(self, out_dir, dataset=None) -> dict:
+        from pathlib import Path
+
+        from sfm_tpu.config import ExportGeometry
+        from sfm_tpu.utils import artifacts, np_geom
+
+        out = Path(out_dir)
+        out.mkdir(parents=True, exist_ok=True)
+        rows = []
+        for kf in self.kfs:
+            lat, lon = (float("nan"), float("nan"))
+            if dataset is not None:
+                lat, lon = dataset.angles_for(kf.img_name)
+            C = kf.center
+            rows.append(dict(
+                kf_id=kf.kf_id, frame_idx=kf.frame_idx, image=kf.img_name,
+                x=float(C[0]), y=float(C[1]), z=float(C[2]),
+                lat=lat, lon=lon))
+        artifacts.write_csv_centers(
+            out / "keyframes_camera_centers.csv", rows)
+        edge_rows = []
+        for e in self.edges:
+            rvec = np_geom.so3_log(np.asarray(e.R_ji, np.float64))
+            edge_rows.append(dict(
+                i=e.i, j=e.j, kind="loop" if e.is_loop else "odom",
+                rvec=rvec, t=e.t_ji))
+        artifacts.write_posegraph_edges(out / "posegraph_edges.csv",
+                                        edge_rows)
+        if self.cfg.export_geometry in (
+                ExportGeometry.POINTCLOUD, ExportGeometry.BOTH):
+            artifacts.write_ply_xyz(
+                out / "templeRing_sparse_points.ply", self._X)
+        return {"keyframes": len(self.kfs), "map_points": len(self._X),
+                "edges": len(self.edges), "out": str(out)}

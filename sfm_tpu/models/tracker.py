@@ -59,7 +59,7 @@ def _replenish(state: TrackerState, img, cfg: KLTConfig) -> TrackerState:
     pos = state.pos.at[slot].set(xy, mode="drop")
     valid = state.valid.at[slot].set(True, mode="drop")
     ids = state.ids.at[slot].set(jnp.where(take, new_ids, -1), mode="drop")
-    next_id = state.next_id + jnp.sum(take.astype(jnp.int32))
+    next_id = state.next_id + jnp.sum(take, dtype=jnp.int32)
     return TrackerState(pos=pos, valid=valid, ids=ids, next_id=next_id)
 
 
