@@ -158,6 +158,11 @@ def bench_config(frames: int):
             "ransac.num_hypotheses": 1024,
             "ransac.sampson_thresh": 2e-5,
             "loop.ransac_thresh": 2e-5,
+            # the synthetic ring's noise texture decorrelates 32x32 global
+            # descriptors (~0.39 peak on a true revisit vs the reference's
+            # 0.94 on real temple images); candidate gating is lowered and
+            # the LK re-track + E-RANSAC verification carries selectivity
+            "loop.score_thresh": 0.3,
         },
     )
 
@@ -250,6 +255,88 @@ def bench_ba_iters(data_root: Path) -> float:
     return reps * iters / dt
 
 
+def bench_multiscene(data_root: Path, S: int = 4) -> dict:
+    """N full 47-frame reconstructions (mapping + window BA) in ONE
+    vmapped device program on one chip (BASELINE config 5)."""
+    from sfm_tpu.parallel.multi_scan import run_scenes_scan
+    from sfm_tpu.utils.dataset import TempleRing
+    from sfm_tpu.utils.synthetic import SyntheticRingSpec, generate_dataset
+
+    dss = [TempleRing.from_dir(data_root / "templeRing")]
+    for s in range(1, S):
+        root = BENCH_DIR / f"data_ms{s}" / "templeRing"
+        if not (root / "templeR_par.txt").exists():
+            spec = SyntheticRingSpec(
+                n_frames=FRAMES, width=640, height=480, fx=1520.0,
+                fy=1520.0, cylinder_radius=0.10, cylinder_zmin=-0.10,
+                cylinder_zmax=0.10, ring_radius=0.60, ring_z=0.05,
+                arc_deg=360.0, texture_blur=1.5, seed=7 + s,
+            )
+            generate_dataset(root, spec, name_prefix="templeR")
+        dss.append(TempleRing.from_dir(root))
+    cfg = bench_config(FRAMES)
+    images = [[d.load_gray(i) for i in range(FRAMES)] for d in dss]
+    kw = dict(frames=FRAMES, chunk=16, images=images)
+    run_scenes_scan(dss, cfg, **kw)  # compile warmup
+    t0 = time.perf_counter()
+    res = run_scenes_scan(dss, cfg, **kw)
+    dt = time.perf_counter() - t0
+    return {
+        "scenes": S,
+        "wall_s": dt,
+        "scene_frames_per_sec": S * FRAMES / dt,
+        "keyframes": [int(x) for x in res["n_keyframes"]],
+        "map_points": [int(x) for x in res["n_points"]],
+    }
+
+
+def bench_dense_variant(n_frames: int = 94) -> dict:
+    """Keyframe-policy variant: the same 360° ring sampled at 2x frame
+    density (~10px median flow < the 18px parallax gate), so the
+    non-keyframe branch of the frame loop runs at bench scale
+    (ref keyframe gate py:915-920)."""
+    import jax.numpy as jnp
+
+    from sfm_tpu.models.scan_pipeline import ScanSfM
+    from sfm_tpu.ops import umeyama
+    from sfm_tpu.utils.dataset import TempleRing
+    from sfm_tpu.utils.synthetic import SyntheticRingSpec, generate_dataset
+
+    root = BENCH_DIR / "data_dense" / "templeRing"
+    if not (root / "templeR_par.txt").exists():
+        spec = SyntheticRingSpec(
+            n_frames=n_frames, width=640, height=480, fx=1520.0, fy=1520.0,
+            cylinder_radius=0.10, cylinder_zmin=-0.10, cylinder_zmax=0.10,
+            ring_radius=0.60, ring_z=0.05, arc_deg=360.0, texture_blur=1.5,
+        )
+        generate_dataset(root, spec, name_prefix="templeR")
+    ds = TempleRing.from_dir(root)
+    cfg = bench_config(n_frames)
+    grays = [ds.load_gray(i) for i in range(n_frames)]
+
+    def one_run():
+        s = ScanSfM(ds.K, cfg, n_frames=n_frames, chunk=16)
+        t0 = time.perf_counter()
+        for i in range(n_frames):
+            s.process(i, ds.records[i].img, grays[i])
+        s.finalize()
+        return s, time.perf_counter() - t0
+
+    one_run()  # compile warmup (kf_cap bucket differs from the main run)
+    s, dt = one_run()
+    est = np.stack([kf.center for kf in s.kfs])
+    gt = np.stack([ds.records[kf.frame_idx].center for kf in s.kfs])
+    res = umeyama.ate(jnp.asarray(est), jnp.asarray(gt), with_scale=True)
+    return {
+        "frames": n_frames,
+        "fps": n_frames / dt,
+        "keyframes": len(s.kfs),
+        "skipped_frames": n_frames - len(s.kfs),
+        "ate_ratio_extent": float(res["rmse"])
+        / float(np.linalg.norm(gt - gt.mean(0), axis=1).max()),
+    }
+
+
 def main():
     data_root = ensure_dataset()
     baseline = ensure_cpp_baseline(data_root)
@@ -257,6 +344,28 @@ def main():
     # every fixed-capacity bucket; the timed run hits the compile cache
     run_ours(data_root)
     ours = run_ours(data_root)
+    ms = bench_multiscene(data_root)
+    dense = bench_dense_variant()
+    # secondary metric lines first; the driver's headline line stays last
+    print(json.dumps({
+        "metric": "multiscene_scene_frames_per_sec",
+        "value": round(ms["scene_frames_per_sec"], 3),
+        "unit": "scene*frames/s",
+        "vs_baseline": round(
+            ms["scene_frames_per_sec"] / baseline["fps"], 3),
+        "scenes": ms["scenes"],
+        "wall_s": round(ms["wall_s"], 3),
+        "keyframes": ms["keyframes"],
+        "map_points": ms["map_points"],
+    }))
+    print(json.dumps({
+        "metric": "dense94_keyframe_policy_variant",
+        "value": round(dense["fps"], 3),
+        "unit": "frames/s",
+        "keyframes": dense["keyframes"],
+        "skipped_frames": dense["skipped_frames"],
+        "ate_ratio_extent": round(dense["ate_ratio_extent"], 5),
+    }))
     line = {
         "metric": "frames_per_sec_47img_templering",
         "value": round(ours["fps"], 3),
@@ -272,6 +381,9 @@ def main():
         "map_points": ours["map_points"],
         "edges": ours["edges"],
         "loop_edges": ours["loop_edges"],
+        "multiscene_scene_frames_per_sec": round(
+            ms["scene_frames_per_sec"], 3),
+        "multiscene_n": ms["scenes"],
     }
     print(json.dumps(line))
 

@@ -544,7 +544,7 @@ class ScanSfM:
         self._pending: list[tuple[int, str, np.ndarray]] = []
         self.kfs: list[Keyframe] = []
         self.edges: list[Edge] = []
-        self._n_loop_checked = 0
+        self._pg_ran = False
 
     # -- streaming interface -------------------------------------------
     def process(self, frame_idx: int, img_name: str,
@@ -759,6 +759,7 @@ class ScanSfM:
             R_cw=jnp.asarray(R_new[n_kf - 1]),
             t_cw=jnp.asarray(C_new[n_kf - 1]),
         )
+        self._pg_ran = True
 
     # -- finalize + export ---------------------------------------------
     def finalize(self) -> None:
@@ -780,6 +781,14 @@ class ScanSfM:
         desc = np.asarray(ring.desc, np.float64)[:n_kf]
         X = np.asarray(self.carry.X, np.float64)[:n_pts]
 
+        # after a pose-graph correction the map is triangulated against
+        # stale poses; re-triangulate first-vs-last with the corrected
+        # poses so global BA starts consistent (BA's gross-outlier gate
+        # would otherwise zero-weight everything; ref cpp:1863 re-runs BA
+        # right after its pose-graph solve for the same reason)
+        if self._pg_ran and n_pts >= 10:
+            X = self._retriangulate(R_cw, t_cw, pid, uv, tvalid, X)
+
         # global BA over the full drained problem
         if self.cfg.ba.global_iters > 0 and n_kf >= 3 and n_pts >= 10:
             R_cw, t_cw, X = self._global_ba(
@@ -795,6 +804,37 @@ class ScanSfM:
         self.edges = self._drain_edges()
         self._X = X
         self._ring_pid = pid  # (n_kf, T) observation matrix, for tooling
+
+    def _retriangulate(self, R_cw, t_cw, pid, uv, tvalid, X):
+        """Batched first-vs-last DLT re-triangulation of every map point
+        from the (corrected) keyframe poses."""
+        from sfm_tpu.utils import np_geom
+
+        n_pts = len(X)
+        kk, ss = np.nonzero(tvalid & (pid >= 0) & (pid < n_pts))
+        p = pid[kk, ss]
+        order = np.lexsort((kk, p))
+        ps, ks, sl = p[order], kk[order], ss[order]
+        firsts = np.searchsorted(ps, np.arange(n_pts), "left")
+        lasts = np.searchsorted(ps, np.arange(n_pts), "right") - 1
+        ok = (lasts >= 0) & (firsts < len(ps)) & (lasts > firsts)
+        fi = np.clip(firsts, 0, len(ps) - 1)
+        li = np.clip(lasts, 0, len(ps) - 1)
+        ka, sa = ks[fi], sl[fi]
+        kb, sb = ks[li], sl[li]
+        ok &= ka != kb
+        R_wc = np.swapaxes(R_cw, -1, -2)
+        t_wc = -np.einsum("fij,fj->fi", R_wc, t_cw)
+        xa = np_geom.normalize_by_K(self.K, uv[ka, sa])
+        xb = np_geom.normalize_by_K(self.K, uv[kb, sb])
+        X3, za, zb = (np.asarray(v, np.float64) for v in
+                      triangulate.triangulate_dlt(
+                          jnp.asarray(R_wc[ka], f32), jnp.asarray(t_wc[ka], f32),
+                          jnp.asarray(xa, f32),
+                          jnp.asarray(R_wc[kb], f32), jnp.asarray(t_wc[kb], f32),
+                          jnp.asarray(xb, f32)))
+        good = ok & (za > 1e-6) & (zb > 1e-6) & np.isfinite(X3).all(-1)
+        return np.where(good[:, None], X3, X)
 
     def _global_ba(self, R_cw, t_cw, pid, uv, tvalid, X):
         """Full-problem Schur-LM refinement (no reference counterpart —

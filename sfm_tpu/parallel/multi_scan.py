@@ -1,0 +1,102 @@
+"""Multi-scene device-resident reconstruction: vmap over the scan loop.
+
+BASELINE config 5 (N TempleRing-style sequences in parallel) on the
+round-2 flagship path: the ENTIRE per-frame pipeline of
+``models/scan_pipeline.py`` — tracking, LO-RANSAC, keyframe policy,
+triangulation, sliding-window Schur-LM BA — is ``jax.vmap``-ed over a
+scene axis and runs for all scenes in ONE compiled chunk program.
+Compared to ``parallel/batch_runner.py`` (lockstep visual odometry, no
+mapping/BA) this is full reconstruction per scene.
+
+Under vmap the keyframe ``lax.cond`` becomes a select (both branches run
+for every scene every frame) — the natural cost model for homogeneous
+lockstep captures, where scenes keyframe on similar cadences anyway.
+
+Single-chip: one vmapped program (this module). Multi-chip: shard the
+scene axis over a ``Mesh`` with ``NamedSharding(P("scene"))`` on the
+carry/batch — the program is identical, XLA partitions it (SURVEY §2.6
+scene/data parallelism row; exercised on a virtual mesh by
+``__graft_entry__.dryrun_multichip`` and ``tests/test_parallel.py``).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sfm_tpu.config import SystemConfig
+from sfm_tpu.models import scan_pipeline as sp
+
+
+@partial(jax.jit, static_argnames=("cfg", "kf_cap", "p_cap"))
+def _bootstrap_scenes(cfg: SystemConfig, kf_cap: int, p_cap: int,
+                      imgs0, idx0, keys):
+    """(S,H,W) first frames -> vmapped ScanCarry with leading scene axis."""
+    return jax.vmap(
+        lambda im, k: sp.bootstrap_carry.__wrapped__(cfg, kf_cap, p_cap, im, idx0, k)
+    )(imgs0, keys)
+
+
+@partial(jax.jit, static_argnames=("cfg", "p_ba"),
+         donate_argnames=("carry",))
+def _run_chunk_scenes(cfg: SystemConfig, p_ba: int, Kf, carry,
+                      imgs, idxs, fvalid):
+    """imgs (S,C,H,W); idxs (C,); fvalid (C,). One program, all scenes."""
+    return jax.vmap(
+        lambda c, im: sp.run_chunk.__wrapped__(cfg, p_ba, Kf, c, im, idxs, fvalid)
+    )(carry, imgs)
+
+
+def run_scenes_scan(datasets, cfg: SystemConfig, frames: int | None = None,
+                    chunk: int = 16, p_cap: int = 16384, p_ba: int = 1024,
+                    seed: int = 0, images=None):
+    """Reconstruct N scenes in lockstep with full per-scene mapping + BA.
+
+    ``datasets``: list of TempleRing handles with identical K/shape.
+    ``images``: optional preloaded grays, ``images[s][i]`` (keeps file IO
+    out of benchmark timing). Returns dict with per-scene keyframe
+    centers, counts, and metrics.
+    """
+    S = len(datasets)
+    n = frames or min(len(d) for d in datasets)
+    if images is None:
+        images = [[d.load_gray(i) for i in range(n)] for d in datasets]
+    kf_cap = sp._next_pow2(n + 1, lo=16)
+    Kf = jnp.asarray(datasets[0].K, jnp.float32)
+    keys = jax.random.split(jax.random.PRNGKey(seed), S)
+
+    imgs0 = jnp.stack([jnp.asarray(images[s][0]) for s in range(S)])
+    carry = _bootstrap_scenes(cfg, kf_cap, p_cap, imgs0,
+                              jnp.zeros((), jnp.int32), keys)
+    ys_all = []
+    for start in range(1, n, chunk):
+        stop = min(start + chunk, n)
+        imgs = np.zeros((S, chunk, *imgs0.shape[1:]), np.uint8)
+        idxs = np.zeros((chunk,), np.int32)
+        fvalid = np.zeros((chunk,), bool)
+        for k, fi in enumerate(range(start, stop)):
+            for s in range(S):
+                imgs[s, k] = images[s][fi]
+            idxs[k] = fi
+            fvalid[k] = True
+        carry, ys = _run_chunk_scenes(
+            cfg, p_ba, Kf, carry, jnp.asarray(imgs), jnp.asarray(idxs),
+            jnp.asarray(fvalid))
+        ys_all.append(np.asarray(ys))  # (S,C,NY)
+    ys = np.concatenate(ys_all, axis=1)
+
+    n_kf = np.asarray(carry.kf_count)
+    ring_t = np.asarray(carry.ring.t_cw, np.float64)
+    ring_f = np.asarray(carry.ring.frame)
+    centers = [ring_t[s, : n_kf[s]] for s in range(S)]
+    kf_frames = [ring_f[s, : n_kf[s]] for s in range(S)]
+    return {
+        "centers": centers,
+        "kf_frames": kf_frames,
+        "n_keyframes": n_kf,
+        "n_points": np.asarray(carry.n_pts),
+        "metrics": ys,
+    }

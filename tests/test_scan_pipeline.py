@@ -78,6 +78,61 @@ def test_export_artifacts(scan_result, tmp_path):
     assert "kind" in head  # SURVEY §4 schema defect fixed in our exporter
 
 
+@pytest.fixture(scope="module")
+def out_and_back_ds(tmp_path_factory):
+    from sfm_tpu.utils.dataset import TempleRing
+    from sfm_tpu.utils.synthetic import SyntheticRingSpec, generate_dataset
+
+    lons = tuple(list(np.arange(0, 60, 5.0)) + list(np.arange(55, -1, -5.0)))
+    out = tmp_path_factory.mktemp("scan_loop")
+    spec = SyntheticRingSpec(
+        n_frames=len(lons), width=480, height=360, fx=1100.0, fy=1100.0,
+        path_lons_deg=lons,
+    )
+    generate_dataset(out, spec)
+    return TempleRing.from_dir(out)
+
+
+def test_scan_loop_closure_and_pose_graph(out_and_back_ds):
+    """Out-and-back revisit: the per-chunk loop check must verify a loop
+    edge, run the pose graph, and push poses back into the device carry
+    (ref cpp:1822-1866 fire-on-revisit semantics at chunk granularity)."""
+    from sfm_tpu.models.scan_pipeline import ScanSfM
+    from sfm_tpu.config import PoseGraphConfig
+
+    ds = out_and_back_ds
+    n = len(ds.records)
+    cfg = dataclasses.replace(
+        _small_cfg(),
+        frames=n,
+        loop=LoopConfig(enabled=True, min_kf_gap=8, score_thresh=0.94,
+                        min_tracked=120, ransac_iters=1024,
+                        ransac_thresh=2e-5, min_inliers=80),
+        pose_graph=PoseGraphConfig(mode="se3", iters=10),
+    )
+    s = ScanSfM(ds.K, cfg, n_frames=n, chunk=8, p_cap=4096, p_ba=256)
+    for i in range(n):
+        s.process(i, ds.records[i].img, ds.load_gray(i))
+    s.finalize()
+    loops = [e for e in s.edges if e.is_loop]
+    assert len(loops) >= 1, "revisit must produce at least one loop edge"
+    for e in loops:
+        assert e.j - e.i >= 8
+        gi = ds.records[s.kfs[e.i].frame_idx].center
+        gj = ds.records[s.kfs[e.j].frame_idx].center
+        assert np.linalg.norm(gi - gj) < 0.15
+    # trajectory quality after pose graph + re-triangulation + global BA
+    import jax.numpy as jnp
+
+    from sfm_tpu.ops import umeyama
+
+    est = np.stack([kf.center for kf in s.kfs])
+    gt = np.stack([ds.records[kf.frame_idx].center for kf in s.kfs])
+    res = umeyama.ate(jnp.asarray(est), jnp.asarray(gt), with_scale=True)
+    extent = float(np.linalg.norm(gt - gt.mean(0), axis=1).max())
+    assert float(res["rmse"]) / extent < 0.06
+
+
 def test_observation_backfill(scan_result):
     """Ring pid matrix records full track history: every point must be
     observed by >= 2 keyframes (triangulation needs first+current)."""
