@@ -136,6 +136,9 @@ class StereoMeshConfig:
     disp_min: float = 1.0
     disp_jump: float = 3.0
     z_max_percentile: float = 98.0
+    # semi-global cost aggregation (StereoSGBM semantics, ref py:1168);
+    # False = plain block matcher
+    sgm: bool = True
 
 
 @dataclasses.dataclass(frozen=True)

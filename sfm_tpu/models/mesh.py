@@ -109,12 +109,60 @@ def _rectify_rotations(R_ji, t_ji):
     return R1, R2
 
 
-@partial(jax.jit, static_argnames=("num_disp", "block_radius"))
-def _disparity_sad(img_l, img_r, num_disp: int, block_radius: int):
-    """(H,W) rectified pair -> disparity via SAD cost volume + parabolic
-    subpixel + left-right consistency. Replaces StereoSGBM (py:1168-1182)
-    with a fully-batched matcher: the (D,H,W) volume is D box-filtered
-    absolute-difference planes."""
+_COST_INVALID = 1e6  # wrapped-region sentinel, pre-aggregation
+
+
+def _sgm_scan(vol_nhd, P1: float, P2: float):
+    """One-direction semi-global aggregation (the SGM recurrence of
+    StereoSGBM, ref py:1168-1182) along the leading axis of a
+    (N,H,D)-ordered cost volume, as a ``lax.scan``:
+
+      L(p,d) = C(p,d) + min(L(q,d), L(q,d±1)+P1, min_d' L(q,d')+P2)
+                      - min_d' L(q,d')
+    """
+    inf = jnp.asarray(jnp.inf, vol_nhd.dtype)
+
+    def step(Lp, C):
+        m = jnp.min(Lp, axis=-1, keepdims=True)  # (H,1)
+        dm = jnp.concatenate([jnp.full_like(Lp[:, :1], inf), Lp[:, :-1]], -1)
+        dp = jnp.concatenate([Lp[:, 1:], jnp.full_like(Lp[:, :1], inf)], -1)
+        cand = jnp.minimum(
+            jnp.minimum(Lp, m + P2),
+            jnp.minimum(dm, dp) + P1,
+        )
+        L = C + cand - m
+        return L, L
+
+    _, Ls = jax.lax.scan(step, vol_nhd[0], vol_nhd[1:])
+    return jnp.concatenate([vol_nhd[:1], Ls], axis=0)
+
+
+def _sgm_aggregate(vol, P1: float, P2: float):
+    """4-direction (left/right/up/down) semi-global sum over a (D,H,W)
+    cost volume. Wrapped-region sentinels are held out of the recurrence
+    (their huge costs would poison neighboring paths) and re-imposed on
+    the aggregated result."""
+    invalid = vol >= _COST_INVALID
+    v = jnp.where(invalid, 0.0, vol)
+    whd = v.transpose(2, 1, 0)  # (W,H,D)
+    agg = _sgm_scan(whd, P1, P2)  # left -> right
+    agg = agg + _sgm_scan(whd[::-1], P1, P2)[::-1]  # right -> left
+    hwd = v.transpose(1, 2, 0)  # (H,W,D)
+    aggv = _sgm_scan(hwd, P1, P2)  # top -> bottom
+    aggv = aggv + _sgm_scan(hwd[::-1], P1, P2)[::-1]  # bottom -> top
+    out = agg.transpose(2, 1, 0) + aggv.transpose(2, 0, 1)
+    return jnp.where(invalid, 4.0 * _COST_INVALID, out)
+
+
+@partial(jax.jit, static_argnames=("num_disp", "block_radius", "sgm"))
+def _disparity_sad(img_l, img_r, num_disp: int, block_radius: int,
+                   sgm: bool = True):
+    """(H,W) rectified pair -> disparity. Replaces StereoSGBM
+    (py:1168-1182): a (D,H,W) SAD volume of box-filtered absolute-
+    difference planes, 4-direction semi-global aggregation (``sgm``;
+    disable for the plain block matcher), winner-take-all with parabolic
+    subpixel refinement, and left-right consistency gating derived from
+    the same aggregated volume (vol_r[d,y,x] = vol_l[d,y,x+d])."""
     H, W = img_l.shape
 
     def cost_plane(d):
@@ -122,10 +170,15 @@ def _disparity_sad(img_l, img_r, num_disp: int, block_radius: int):
         # invalidate wrapped region
         colmask = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1) >= d
         ad = jnp.abs(img_l - shifted)
-        ad = jnp.where(colmask, ad, 1e6)
+        ad = jnp.where(colmask, ad, _COST_INVALID)
         return im.box_filter(ad, block_radius)
 
     vol = jax.vmap(cost_plane)(jnp.arange(num_disp))  # (D,H,W)
+    if sgm:
+        # cv2.StereoSGBM penalty convention: P1 = 8*blockSize^2,
+        # P2 = 32*blockSize^2 (costs here are block SUMS of |dI|)
+        win = float((2 * block_radius + 1) ** 2)
+        vol = _sgm_aggregate(vol, 8.0 * win, 32.0 * win)
     best = jnp.argmin(vol, axis=0)  # (H,W)
     dm1 = jnp.clip(best - 1, 0, num_disp - 1)
     dp1 = jnp.clip(best + 1, 0, num_disp - 1)
@@ -140,19 +193,14 @@ def _disparity_sad(img_l, img_r, num_disp: int, block_radius: int):
     sub = jnp.where(jnp.abs(denom) > 1e-9, 0.5 * (cm - cp) / denom, 0.0)
     disp = best.astype(img_l.dtype) + jnp.clip(sub, -0.5, 0.5)
 
-    # left-right consistency: recompute matching right->left
-    def cost_plane_r(d):
-        shifted = jnp.roll(img_l, -d, axis=1)
-        colmask = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1) < W - d
-        ad = jnp.abs(img_r - shifted)
-        ad = jnp.where(colmask, ad, 1e6)
-        return im.box_filter(ad, block_radius)
-
-    vol_r = jax.vmap(cost_plane_r)(jnp.arange(num_disp))
+    # left-right consistency from the same (aggregated) volume:
+    # vol_r[d, y, xr] = vol_l[d, y, xr + d]
+    xs = jax.lax.broadcasted_iota(jnp.int32, (num_disp, H, W), 2)
+    ds = jax.lax.broadcasted_iota(jnp.int32, (num_disp, H, W), 0)
+    xl = jnp.minimum(xs + ds, W - 1)
+    vol_r = jnp.take_along_axis(vol, xl, axis=2)
     best_r = jnp.argmin(vol_r, axis=0)
-    # disparity of the right pixel that the left pixel maps to
-    xs = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
-    xr = jnp.clip(xs - best, 0, W - 1)
+    xr = jnp.clip(xs[0] - best, 0, W - 1)
     d_r = jnp.take_along_axis(best_r, xr, axis=1)
     lr_ok = jnp.abs(best - d_r) <= 1
     return disp, lr_ok
@@ -194,7 +242,8 @@ def export_stereo_grid_mesh(K, kf1, kf2, img1_u8, img2_u8, cfg):
 
     num_disp = int(np.ceil(cfg.num_disparities / 16.0) * 16)
     block_r = max(int(cfg.block_size) // 2, 1)
-    disp, lr_ok = _disparity_sad(rect1, rect2, num_disp, block_r)
+    disp, lr_ok = _disparity_sad(rect1, rect2, num_disp, block_r,
+                                 sgm=getattr(cfg, "sgm", True))
     disp = np.asarray(disp)
     lr_ok = np.asarray(lr_ok)
 

@@ -81,3 +81,74 @@ def test_stereo_mesh_runs(rng):
     assert m.mean() > 0.2
     med = np.median(disp[m])
     assert abs(med - d_true) < 0.5, med
+
+
+def test_stereo_sgm_beats_plain_sad(rng):
+    """SGM aggregation must reduce disparity error vs the plain block
+    matcher on a weakly-textured slanted scene (the regime SGBM exists
+    for, ref py:1168-1182)."""
+    import jax.numpy as jnp
+    from scipy.ndimage import gaussian_filter
+
+    from sfm_tpu.models.mesh import _disparity_sad
+
+    H, W = 96, 128
+    # slanted plane: disparity ramps 4..12 across x, with a textureless
+    # band where local SAD matching is ambiguous and SGM's smoothness
+    # paths must carry the disparity across
+    img = (gaussian_filter(rng.standard_normal((H, W + 48)), 2.5) * 25 + 128)
+    img[:, 80:110] = 128.0
+    left = img[:, 24 : W + 24].astype(np.float32)
+    # right pixel x_r samples the scene at x_l = x_r + d_r(x_r)
+    d_r = 4.0 + 8.0 * np.arange(W) / W
+    src = 24 + np.arange(W) + d_r
+    right = np.stack([np.interp(src, np.arange(img.shape[1]), row)
+                      for row in img]).astype(np.float32)
+    # ground-truth disparity at LEFT pixel x_l (invert the linear ramp)
+    xl = np.arange(W, dtype=np.float64)
+    xr = (xl - 4.0) / (1.0 + 8.0 / W)
+    d_true = xl - xr
+    good = {}
+    for sgm in (False, True):
+        disp, ok = _disparity_sad(jnp.asarray(left), jnp.asarray(right),
+                                  16, 3, sgm=sgm)
+        disp, ok = np.asarray(disp), np.asarray(ok)
+        inner = np.zeros((H, W), bool)
+        inner[8:-8, 24:-8] = True
+        # coverage-of-correct: confident AND within 1 px of truth
+        hit = ok & (np.abs(disp - d_true[None, :]) < 1.0)
+        good[sgm] = hit[inner].mean()
+    assert good[True] > good[False], good
+    assert good[True] > 0.8, good
+
+
+def test_stereo_mesh_depth_quality(tmp_path):
+    """End-to-end dense stereo export on a rendered pair with GT poses:
+    mesh vertices must land on the GT cylinder surface (radius 0.10)."""
+    from sfm_tpu.config import StereoMeshConfig
+    from sfm_tpu.models.mapstate import Keyframe
+    from sfm_tpu.models.mesh import export_stereo_grid_mesh
+    from sfm_tpu.utils.dataset import TempleRing
+    from sfm_tpu.utils.synthetic import SyntheticRingSpec, generate_dataset
+
+    spec = SyntheticRingSpec(n_frames=2, width=480, height=360,
+                             fx=1100.0, fy=1100.0, arc_deg=5.0)
+    generate_dataset(tmp_path, spec)
+    ds = TempleRing.from_dir(tmp_path)
+    kfs = []
+    for i, r in enumerate(ds.records):
+        R_cw, t_cw = r.pose_cw
+        kfs.append(Keyframe(kf_id=i, frame_idx=i, img_name=r.img,
+                            R_cw=R_cw, t_cw=t_cw, ids=np.zeros(1, np.int32),
+                            uv=np.zeros((1, 2)), valid=np.zeros(1, bool)))
+    cfg = StereoMeshConfig(num_disparities=160, step=4, block_size=7)
+    verts, faces = export_stereo_grid_mesh(
+        ds.K, kfs[0], kfs[1], ds.load_gray(0), ds.load_gray(1), cfg)
+    assert len(verts) > 300
+    assert len(faces) > 200
+    # GT: cylinder of radius 0.10 about the world z-axis, |z| <= 0.10
+    rad = np.hypot(verts[:, 0], verts[:, 1])
+    med_err = np.median(np.abs(rad - spec.cylinder_radius))
+    frac_on = np.mean(np.abs(rad - spec.cylinder_radius) < 0.02)
+    assert med_err < 0.02, (med_err, frac_on)
+    assert frac_on > 0.5, (med_err, frac_on)
