@@ -43,8 +43,13 @@ def _lk_level_kernel(pts_ref, v_ref, img0_ref, img1_ref, out_ref, *,
         """Load a (WIN+2, WIN+2) window centered-ish at (cx, cy) with the
         anchor chosen so patch sample (0,0) maps to (cx - radius, cy -
         radius); returns (win, fx, fy) with the fractional offsets."""
-        xs = cx - radius
-        ys = cy - radius
+        # clamp the SAMPLING position (not just the slice origin) so the
+        # fractional offsets stay consistent with the loaded window at
+        # image borders — clamping only xi/yi would bilinear-sample the
+        # wrong location near the edge (the XLA twin recomputes q against
+        # the clamped anchor the same way, ops/klt.py:89-92)
+        xs = clamp(cx - radius, 1.0, jnp.float32(W - WIN - 1))
+        ys = clamp(cy - radius, 1.0, jnp.float32(H - WIN - 1))
         x0 = jnp.floor(xs)
         y0 = jnp.floor(ys)
         fx = xs - x0

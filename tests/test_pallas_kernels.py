@@ -54,3 +54,29 @@ def test_lk_pallas_matches_xla(rng):
     # differentiates the bilinear window — allow a small tolerance)
     d = np.linalg.norm(flow_ref - flow_pal, axis=1)
     assert np.median(d) < 0.2, np.median(d)
+
+
+def test_lk_pallas_border_clamp(rng):
+    """Near-border tracks must sample the clamped position consistently
+    (round-1 latent bug: slice origin clamped but fractional offsets
+    computed from the unclamped floor -> wrong bilinear location)."""
+    from scipy.ndimage import shift as ndshift
+
+    img0 = make_textured(rng, H=64, W=96)
+    img1 = ndshift(img0, (0.6, -0.8), order=3, mode="nearest").astype(np.float32)
+    # points within radius+1 of every border, plus a few fully outside
+    pts = np.array([
+        [1.0, 1.0], [94.0, 62.0], [2.5, 60.5], [93.2, 2.2],
+        [0.0, 30.0], [95.9, 30.0], [48.0, 0.0], [48.0, 63.0],
+        [-3.0, 30.0], [99.0, 30.0],
+    ], np.float32)
+    v0 = jnp.zeros((len(pts), 2), jnp.float32)
+    v = lk_kernel.lk_level_pallas(
+        jnp.asarray(img0), jnp.asarray(img1), jnp.asarray(pts), v0,
+        iters=8, radius=5, interpret=True,
+    )
+    v = np.asarray(v)
+    # no NaN/Inf and no runaway updates: border tracks stay bounded (the
+    # fb gate downstream rejects them; the kernel must not blow up)
+    assert np.isfinite(v).all()
+    assert (np.abs(v) < 8.0).all(), v
