@@ -312,6 +312,14 @@ def bench_dense_variant(n_frames: int = 94) -> dict:
         generate_dataset(root, spec, name_prefix="templeR")
     ds = TempleRing.from_dir(root)
     cfg = bench_config(n_frames)
+    # min_gap cadence: ~12px inter-frame flow passes a 10px gate but the
+    # gap gate admits every 2nd frame -> keyframes ~= frames/2, so the
+    # skip-frame branch runs for half the sequence while keyframe spacing
+    # (and hence accuracy) matches the main 47-frame bench
+    import dataclasses as _dc
+
+    cfg = _dc.replace(
+        cfg, keyframe=_dc.replace(cfg.keyframe, min_gap=2, parallax_px=10.0))
     grays = [ds.load_gray(i) for i in range(n_frames)]
 
     def one_run():

@@ -500,6 +500,39 @@ def run_chunk(cfg: SystemConfig, p_ba: int, Kf, carry: ScanCarry,
     return carry, ys
 
 
+@partial(jax.jit, static_argnames=("levels", "lk_iters", "radius", "cell",
+                                   "num_hypotheses", "min_inliers"))
+def _loop_verify_stage(key, Kf, img_old, img_new, levels: int,
+                       lk_iters: int, radius: int, fb_thresh, cell: int,
+                       quality, num_hypotheses: int, sampson_thresh,
+                       min_inliers: int):
+    """Loop-candidate geometric verification in ONE device program
+    (ref cpp:1833-1859: shi-tomasi re-detect on the old keyframe + LK
+    fwd/bwd re-track + E-RANSAC gate). Packs the TwoView vector plus the
+    tracked-survivor count so the host needs a single pull."""
+    pyr_old = _build_pyr(img_old, levels)
+    pyr_new = _build_pyr(img_new, levels)
+    xy, _, dvalid = features.detect_corners(
+        pyr_old[0], jnp.zeros((1, 2)), jnp.zeros(1, bool),
+        max_new=1024, cell=cell, quality=quality)
+    new_pts, ok = klt.lk_track_fb(
+        pyr_old, pyr_new, xy, dvalid,
+        levels=levels, iters=lk_iters, radius=radius, fb_thresh=fb_thresh)
+    xi = epipolar.normalize_by_K(Kf, xy.astype(f32))
+    xj = epipolar.normalize_by_K(Kf, new_pts.astype(f32))
+    rp = epipolar.find_E_ransac(
+        key, xi, xj, ok, num_hypotheses=num_hypotheses,
+        sampson_thresh=sampson_thresh, min_inliers=min_inliers)
+    return jnp.concatenate([
+        rp.R.reshape(9).astype(f32), rp.t.astype(f32),
+        jnp.stack([
+            rp.ok.astype(f32), rp.num_inliers.astype(f32),
+            jnp.float32(0.0), jnp.sum(ok).astype(f32),
+        ]),
+        jnp.sum(ok, dtype=i32).astype(f32)[None],
+    ])
+
+
 # ---------------------------------------------------------------------------
 # Host wrapper
 # ---------------------------------------------------------------------------
@@ -545,6 +578,7 @@ class ScanSfM:
         self.kfs: list[Keyframe] = []
         self.edges: list[Edge] = []
         self._pg_ran = False
+        self.refine_rounds = 1  # re-triangulate/global-BA cycles at finalize
 
     # -- streaming interface -------------------------------------------
     def process(self, frame_idx: int, img_name: str,
@@ -661,29 +695,24 @@ class ScanSfM:
         self._pose_graph_pushback()
 
     def _verify_pair(self, old_img, new_img):
-        from sfm_tpu.models.system import TwoView, _two_view_stage
+        from sfm_tpu.models.system import TwoView
 
         lcfg = self.cfg.loop
         kcfg = self.cfg.klt
-        pyr_old = _build_pyr(jnp.asarray(old_img), kcfg.pyr_levels)
-        pyr_new = _build_pyr(jnp.asarray(new_img), kcfg.pyr_levels)
-        xy, _, dvalid = features.detect_corners(
-            pyr_old[0], jnp.zeros((1, 2)), jnp.zeros(1, bool),
-            max_new=1024, cell=max(int(kcfg.min_distance), 2),
-            quality=kcfg.quality)
-        new_pts, ok = klt.lk_track_fb(
-            pyr_old, pyr_new, xy, dvalid,
-            levels=kcfg.pyr_levels, iters=kcfg.iters,
-            radius=kcfg.win_radius, fb_thresh=kcfg.fb_thresh)
-        n_tracked = int(np.asarray(jnp.sum(ok)))
-        if n_tracked < lcfg.min_tracked:
-            return None, n_tracked
         key = jax.random.PRNGKey(self.cfg.ransac.seed + 7919)
-        rp = TwoView(_two_view_stage(
-            key, self._Kj, xy.astype(f32), new_pts.astype(f32), ok,
+        pack = _loop_verify_stage(
+            key, self._Kj, jnp.asarray(old_img), jnp.asarray(new_img),
+            levels=kcfg.pyr_levels, lk_iters=kcfg.iters,
+            radius=kcfg.win_radius, fb_thresh=kcfg.fb_thresh,
+            cell=max(int(kcfg.min_distance), 2), quality=kcfg.quality,
             num_hypotheses=lcfg.ransac_iters,
             sampson_thresh=lcfg.ransac_thresh,
-            min_inliers=lcfg.min_inliers))
+            min_inliers=lcfg.min_inliers,
+        )
+        rp = TwoView(pack[:16])  # one pull for the whole verification
+        n_tracked = int(np.asarray(pack[16]))
+        if n_tracked < lcfg.min_tracked:
+            return None, n_tracked
         if not rp.ok or rp.num_inliers < lcfg.min_inliers:
             return None, n_tracked
         return rp, n_tracked
@@ -781,18 +810,19 @@ class ScanSfM:
         desc = np.asarray(ring.desc, np.float64)[:n_kf]
         X = np.asarray(self.carry.X, np.float64)[:n_pts]
 
-        # after a pose-graph correction the map is triangulated against
-        # stale poses; re-triangulate first-vs-last with the corrected
-        # poses so global BA starts consistent (BA's gross-outlier gate
-        # would otherwise zero-weight everything; ref cpp:1863 re-runs BA
-        # right after its pose-graph solve for the same reason)
-        if self._pg_ran and n_pts >= 10:
-            X = self._retriangulate(R_cw, t_cw, pid, uv, tvalid, X)
-
-        # global BA over the full drained problem
-        if self.cfg.ba.global_iters > 0 and n_kf >= 3 and n_pts >= 10:
-            R_cw, t_cw, X = self._global_ba(
-                R_cw, t_cw, pid, uv, tvalid, X)
+        # Final refinement: after a pose-graph correction the map is
+        # triangulated against stale poses, so re-triangulate first-vs-
+        # last with the corrected poses before BA (BA's gross-outlier
+        # gate would otherwise zero-weight everything; ref cpp:1863
+        # re-runs BA right after its pose-graph solve for the same
+        # reason). ``refine_rounds`` > 1 alternates re-triangulation and
+        # global BA (poses+points jointly).
+        for r in range(self.refine_rounds):
+            if (self._pg_ran or r > 0) and n_pts >= 10:
+                X = self._retriangulate(R_cw, t_cw, pid, uv, tvalid, X)
+            if self.cfg.ba.global_iters > 0 and n_kf >= 3 and n_pts >= 10:
+                R_cw, t_cw, X = self._global_ba(
+                    R_cw, t_cw, pid, uv, tvalid, X)
 
         self.kfs = [
             Keyframe(kf_id=k, frame_idx=int(frames[k]),

@@ -52,13 +52,16 @@ def _run_chunk_scenes(cfg: SystemConfig, p_ba: int, Kf, carry,
 
 def run_scenes_scan(datasets, cfg: SystemConfig, frames: int | None = None,
                     chunk: int = 16, p_cap: int = 16384, p_ba: int = 1024,
-                    seed: int = 0, images=None):
+                    seed: int = 0, images=None, mesh=None):
     """Reconstruct N scenes in lockstep with full per-scene mapping + BA.
 
     ``datasets``: list of TempleRing handles with identical K/shape.
     ``images``: optional preloaded grays, ``images[s][i]`` (keeps file IO
-    out of benchmark timing). Returns dict with per-scene keyframe
-    centers, counts, and metrics.
+    out of benchmark timing). ``mesh``: optional ``jax.sharding.Mesh``
+    with a ``scene`` axis — the carry and image batch are placed with
+    ``NamedSharding(P('scene'))`` and XLA partitions the (embarrassingly
+    scene-parallel) program across devices; S must divide the axis size.
+    Returns dict with per-scene keyframe centers, counts, and metrics.
     """
     S = len(datasets)
     n = frames or min(len(d) for d in datasets)
@@ -68,9 +71,17 @@ def run_scenes_scan(datasets, cfg: SystemConfig, frames: int | None = None,
     Kf = jnp.asarray(datasets[0].K, jnp.float32)
     keys = jax.random.split(jax.random.PRNGKey(seed), S)
 
+    shard = None
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        shard = NamedSharding(mesh, P("scene"))
+
     imgs0 = jnp.stack([jnp.asarray(images[s][0]) for s in range(S)])
     carry = _bootstrap_scenes(cfg, kf_cap, p_cap, imgs0,
                               jnp.zeros((), jnp.int32), keys)
+    if shard is not None:
+        carry = jax.device_put(carry, shard)
     ys_all = []
     for start in range(1, n, chunk):
         stop = min(start + chunk, n)
@@ -82,8 +93,11 @@ def run_scenes_scan(datasets, cfg: SystemConfig, frames: int | None = None,
                 imgs[s, k] = images[s][fi]
             idxs[k] = fi
             fvalid[k] = True
+        imgs_j = jnp.asarray(imgs)
+        if shard is not None:
+            imgs_j = jax.device_put(imgs_j, shard)
         carry, ys = _run_chunk_scenes(
-            cfg, p_ba, Kf, carry, jnp.asarray(imgs), jnp.asarray(idxs),
+            cfg, p_ba, Kf, carry, imgs_j, jnp.asarray(idxs),
             jnp.asarray(fvalid))
         ys_all.append(np.asarray(ys))  # (S,C,NY)
     ys = np.concatenate(ys_all, axis=1)

@@ -154,3 +154,99 @@ def load_checkpoint(system, path: str | Path) -> None:
             ids=jnp.asarray(z["trk_ids"]),
             next_id=jnp.asarray(z["trk_next"]),
         )
+
+
+# ---------------------------------------------------------------------------
+# Scan-pipeline (device-resident) checkpointing: the whole ScanCarry is a
+# pytree of fixed-shape arrays, so serialization is field-by-field exact —
+# a resumed run continues bit-identically when saved at a chunk boundary.
+# ---------------------------------------------------------------------------
+
+
+def save_scan_checkpoint(scan, path: str | Path) -> None:
+    """Serialize a ScanSfM (models/scan_pipeline.py) mid-run. Flushes the
+    pending frame buffer first so the carry is at a chunk boundary."""
+    path = Path(path)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    scan._flush()
+    c = scan.carry
+    arrays: dict[str, np.ndarray] = {
+        "R_cw": np.asarray(c.R_cw), "t_cw": np.asarray(c.t_cw),
+        "slot_pid": np.asarray(c.slot_pid), "fo_kf": np.asarray(c.fo_kf),
+        "fo_uv": np.asarray(c.fo_uv), "X": np.asarray(c.X),
+        "key": np.asarray(c.key),
+        "images": np.stack(scan._images).astype(np.uint8),
+    }
+    for f in c.trk._fields:
+        arrays[f"trk_{f}"] = np.asarray(getattr(c.trk, f))
+    for f in c.ring._fields:
+        arrays[f"ring_{f}"] = np.asarray(getattr(c.ring, f))
+    for i, p in enumerate(c.prev_pyr):
+        arrays[f"pyr{i}"] = np.asarray(p)
+    meta = {
+        "scan": True,
+        "levels": len(c.prev_pyr),
+        "last_kf_frame": int(c.last_kf_frame),
+        "kf_count": int(c.kf_count),
+        "n_pts": int(c.n_pts),
+        "names": scan._names,
+        "metrics": scan.metrics,
+        "pg_ran": scan._pg_ran,
+        "loop_edges": [
+            dict(i=e.i, j=e.j, inliers=e.inliers,
+                 w_rot=e.w_rot, w_trans=e.w_trans)
+            for e in scan.loop_edges
+        ],
+    }
+    np.savez_compressed(path.with_suffix(".npz"), **arrays)
+    path.with_suffix(".json").write_text(json.dumps(meta))
+    if scan.loop_edges:
+        np.savez_compressed(
+            path.with_suffix(".loops.npz"),
+            R=np.stack([e.R_ji for e in scan.loop_edges]),
+            t=np.stack([e.t_ji for e in scan.loop_edges]),
+        )
+
+
+def load_scan_checkpoint(scan, path: str | Path) -> None:
+    """Restore into a freshly constructed ScanSfM with the same config
+    and capacities. Continue by calling scan.process for later frames."""
+    import jax.numpy as jnp
+
+    from sfm_tpu.models import tracker
+    from sfm_tpu.models.mapstate import Edge
+    from sfm_tpu.models.scan_pipeline import KeyframeRing, ScanCarry
+
+    path = Path(path)
+    z = np.load(path.with_suffix(".npz"))
+    meta = json.loads(path.with_suffix(".json").read_text())
+    trk = tracker.TrackerState(
+        **{f: jnp.asarray(z[f"trk_{f}"]) for f in tracker.TrackerState._fields}
+    )
+    ring = KeyframeRing(
+        **{f: jnp.asarray(z[f"ring_{f}"]) for f in KeyframeRing._fields}
+    )
+    pyr = tuple(jnp.asarray(z[f"pyr{i}"]) for i in range(meta["levels"]))
+    scan.carry = ScanCarry(
+        trk=trk, prev_pyr=pyr,
+        R_cw=jnp.asarray(z["R_cw"]), t_cw=jnp.asarray(z["t_cw"]),
+        last_kf_frame=jnp.asarray(meta["last_kf_frame"], jnp.int32),
+        kf_count=jnp.asarray(meta["kf_count"], jnp.int32),
+        slot_pid=jnp.asarray(z["slot_pid"]), fo_kf=jnp.asarray(z["fo_kf"]),
+        fo_uv=jnp.asarray(z["fo_uv"]), ring=ring,
+        X=jnp.asarray(z["X"]),
+        n_pts=jnp.asarray(meta["n_pts"], jnp.int32),
+        key=jnp.asarray(z["key"]),
+    )
+    scan._images = [im for im in z["images"]]
+    scan._names = list(meta["names"])
+    scan.metrics = list(meta["metrics"])
+    scan._pg_ran = bool(meta.get("pg_ran", False))
+    scan.loop_edges = []
+    if meta["loop_edges"]:
+        lz = np.load(path.with_suffix(".loops.npz"))
+        for k, em in enumerate(meta["loop_edges"]):
+            scan.loop_edges.append(Edge(
+                i=em["i"], j=em["j"], R_ji=lz["R"][k], t_ji=lz["t"][k],
+                inliers=em["inliers"], is_loop=True,
+                w_rot=em["w_rot"], w_trans=em["w_trans"]))

@@ -113,3 +113,42 @@ def test_resume_spans_loop_closure(tmp_path):
     loops = [e for e in s_b.edges if e.is_loop]
     assert loops, "loop closure must fire against pre-checkpoint keyframes"
     assert any(s_b.kfs[e.i].frame_idx < 12 for e in loops)
+
+
+def test_scan_checkpoint_roundtrip(synthetic_ring, tmp_path):
+    """Scan-pipeline resume: saved at a chunk boundary, a resumed run
+    must reproduce the uninterrupted run's keyframes exactly."""
+    import sys as _s
+    _s.path.insert(0, "tests")
+    from test_scan_pipeline import _small_cfg
+
+    from sfm_tpu.models.scan_pipeline import ScanSfM
+    from sfm_tpu.utils.checkpoint import (load_scan_checkpoint,
+                                          save_scan_checkpoint)
+
+    ds = synthetic_ring
+    n = len(ds.records)
+    cfg = _small_cfg()
+    kw = dict(n_frames=n, chunk=3, p_cap=4096, p_ba=256)
+
+    ref = ScanSfM(ds.K, cfg, **kw)
+    for i in range(n):
+        ref.process(i, ds.records[i].img, ds.load_gray(i))
+    ref.finalize()
+
+    half = 7  # bootstrap + 6 = two full chunks of 3
+    a = ScanSfM(ds.K, cfg, **kw)
+    for i in range(half):
+        a.process(i, ds.records[i].img, ds.load_gray(i))
+    save_scan_checkpoint(a, tmp_path / "ck")
+
+    b = ScanSfM(ds.K, cfg, **kw)
+    load_scan_checkpoint(b, tmp_path / "ck")
+    for i in range(half, n):
+        b.process(i, ds.records[i].img, ds.load_gray(i))
+    b.finalize()
+
+    assert len(b.kfs) == len(ref.kfs)
+    est_b = np.stack([kf.center for kf in b.kfs])
+    est_r = np.stack([kf.center for kf in ref.kfs])
+    np.testing.assert_allclose(est_b, est_r, atol=1e-4)

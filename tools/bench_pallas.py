@@ -1,0 +1,79 @@
+"""Pallas kernels vs XLA twins on the real chip — the promote-or-delete
+measurement (VERDICT round-1 item 5).
+
+Times, at bench scale (640x480 f32 image, 2200 tracks, radius 6,
+16 iterations):
+  1. Shi-Tomasi corner response map: ops/features.shi_tomasi_score vs
+     ops/pallas/shi_tomasi_kernel.shi_tomasi_score_pallas
+  2. one pyramidal-LK level: ops/klt._lk_level (window-block XLA path)
+     vs ops/pallas/lk_kernel.lk_level_pallas (per-track sequential grid)
+
+Usage: python tools/bench_pallas.py   (on the TPU host env)
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+from pathlib import Path
+
+os.environ.setdefault("SFM_TPU_X64", "0")
+ROOT = Path(__file__).resolve().parents[1]
+sys.path.insert(0, str(ROOT))
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      str(ROOT / "out" / "jax_cache"))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def timeit(fn, *args, reps=20):
+    out = fn(*args)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / reps * 1e3  # ms
+
+
+def main():
+    from scipy.ndimage import gaussian_filter
+
+    from sfm_tpu.ops import features, klt
+    from sfm_tpu.ops.pallas import lk_kernel, shi_tomasi_kernel
+
+    rng = np.random.default_rng(0)
+    H, W, T, R, IT = 480, 640, 2200, 6, 16
+    img0 = (gaussian_filter(rng.standard_normal((H, W)), 1.5) * 60 + 128
+            ).astype(np.float32)
+    img1 = np.roll(img0, (2, -3), axis=(0, 1))
+    img0j, img1j = jnp.asarray(img0), jnp.asarray(img1)
+    pts = jnp.asarray(rng.uniform(30, 400, (T, 2)), jnp.float32)
+    v0 = jnp.zeros((T, 2), jnp.float32)
+
+    st_xla = timeit(jax.jit(lambda im: features.shi_tomasi_score(im, 2)),
+                    img0j)
+    st_pal = timeit(
+        jax.jit(lambda im: shi_tomasi_kernel.shi_tomasi_score_pallas(im, 2)),
+        img0j)
+
+    lk_xla = timeit(
+        jax.jit(lambda a, b, p, v: klt._lk_level(a, b, p, v, IT, R, 1e-4)),
+        img0j, img1j, pts, v0)
+    lk_pal = timeit(
+        lambda a, b, p, v: lk_kernel.lk_level_pallas(
+            a, b, p, v, iters=IT, radius=R),
+        img0j, img1j, pts, v0)
+
+    print(f"platform: {jax.devices()[0].platform} {jax.devices()[0]}")
+    print(f"shi_tomasi  XLA {st_xla:8.3f} ms   Pallas {st_pal:8.3f} ms   "
+          f"speedup x{st_xla / st_pal:.2f}")
+    print(f"lk_level    XLA {lk_xla:8.3f} ms   Pallas {lk_pal:8.3f} ms   "
+          f"speedup x{lk_xla / lk_pal:.2f}")
+
+
+if __name__ == "__main__":
+    main()
