@@ -208,6 +208,68 @@ def _solve_schur(Hcc, bc, Hpp, bp, W, point_valid, lam, n_fix: int):
     return dx, dX
 
 
+@partial(jax.jit, static_argnames=("iters",))
+def refine_points(p: BAProblem, iters: int = 5, lambda0: float = 1e-3,
+                  huber_delta: float = 2e-3):
+    """Structure-only LM: polish the map points against FROZEN poses.
+
+    Monocular full-problem BA can lower reprojection error while bending
+    the (weakly constrained) trajectory gauge — measured on the 47-frame
+    ring it degrades ATE from 0.74% to 1.3% of extent. The final
+    refinement therefore freezes poses and solves the embarrassingly
+    batched per-point 3x3 GN systems only (the dual of the reference's
+    cpp window BA, which updates poses and freezes points,
+    cpp:1059-1060). Returns (X, info)."""
+    eye3 = jnp.eye(3, dtype=p.X.dtype)
+
+    def lm_step(carry, _):
+        X, lam, cost = carry
+        cur = p._replace(X=X)
+        r, Xc, z_ok = _project_residuals(
+            p.R_wc, p.t_wc, X, p.cam_idx, p.pid_idx, p.obs, p.obs_valid
+        )
+        w = _huber_weight(r, huber_delta) * (
+            z_ok & p.point_valid[p.pid_idx]
+        ).astype(r.dtype)
+        z = jnp.where(jnp.abs(Xc[:, 2]) < 1e-6, 1e-6, Xc[:, 2])
+        inv_z = 1.0 / z
+        x, y = Xc[:, 0], Xc[:, 1]
+        zero = jnp.zeros_like(inv_z)
+        Jproj = jnp.stack(
+            [
+                jnp.stack([inv_z, zero, -x * inv_z * inv_z], axis=-1),
+                jnp.stack([zero, inv_z, -y * inv_z * inv_z], axis=-1),
+            ],
+            axis=-2,
+        )
+        Jp = jnp.einsum("mij,mjk->mik", Jproj, p.R_wc[p.cam_idx])
+        Jp = Jp * w[:, None, None]
+        rw = r * w[:, None]
+        P = p.X.shape[0]
+        Hpp = jax.ops.segment_sum(
+            jnp.einsum("mia,mib->mab", Jp, Jp), p.pid_idx, num_segments=P)
+        bp = jax.ops.segment_sum(
+            jnp.einsum("mia,mi->ma", Jp, rw), p.pid_idx, num_segments=P)
+        diag = jnp.einsum("pii->pi", Hpp)
+        damp = lam * jnp.maximum(diag.max(-1), 1e-6)[:, None, None] + 1e-9
+        Hd = Hpp + damp * eye3
+        Hd = jnp.where(p.point_valid[:, None, None], Hd, eye3)
+        dX = -jnp.einsum("pij,pj->pi", linalg.inv3(Hd), bp)
+        X_try = jnp.where(p.point_valid[:, None], X + dX, X)
+        new_cost = ba_cost(p._replace(X=X_try), huber_delta)
+        accept = new_cost < cost
+        X = jnp.where(accept, X_try, X)
+        cost = jnp.where(accept, new_cost, cost)
+        lam = jnp.where(accept, lam * 0.3, lam * 2.0)
+        return (X, lam, cost), cost
+
+    cost0 = ba_cost(p, huber_delta)
+    lam0 = jnp.asarray(lambda0, p.X.dtype)
+    (X, lam, cost), hist = jax.lax.scan(
+        lm_step, (p.X, lam0, cost0), None, length=iters)
+    return X, {"cost0": cost0, "cost": cost, "cost_hist": hist}
+
+
 @partial(jax.jit, static_argnames=("iters", "n_fix", "update_points"))
 def bundle_adjust(
     p: BAProblem,

@@ -252,3 +252,35 @@ def test_window_ba_obs_ranking():
     # each must keep all 6 observations
     counts = np.bincount(kept_pids, minlength=500)
     assert (counts[:500] == 6).all(), counts[:500].min()
+
+
+def test_refine_points_structure_only(rng):
+    """Frozen-pose point polish: noisy points converge to GT; poses by
+    construction untouched (the finalize-stage refinement of the scan
+    pipeline)."""
+    import jax.numpy as jnp
+
+    from sfm_tpu.ops import ba as ba_ops
+
+    F, P = 4, 64
+    M = 4 * P
+    Xgt = rng.standard_normal((P, 3)) * 0.4 + np.array([0, 0, 5.0])
+    R_wc = np.stack([np.eye(3)] * F)
+    t_wc = np.zeros((F, 3))
+    t_wc[:, 0] = np.linspace(0, 1.0, F)
+    cam = (np.arange(M) % F).astype(np.int32)
+    pid = (np.arange(M) // F).astype(np.int32)
+    Xc = np.einsum("mij,mj->mi", R_wc[cam], Xgt[pid]) + t_wc[cam]
+    obs = Xc[:, :2] / Xc[:, 2:3]
+    X0 = Xgt + rng.standard_normal((P, 3)) * 0.05
+    prob = ba_ops.BAProblem(
+        R_wc=jnp.asarray(R_wc), t_wc=jnp.asarray(t_wc), X=jnp.asarray(X0),
+        cam_idx=jnp.asarray(cam), pid_idx=jnp.asarray(pid),
+        obs=jnp.asarray(obs), obs_valid=jnp.ones(M, bool),
+        point_valid=jnp.ones(P, bool),
+    )
+    Xn, info = ba_ops.refine_points(prob, iters=8, huber_delta=1e-2)
+    err0 = np.linalg.norm(X0 - Xgt, axis=1).mean()
+    err1 = np.linalg.norm(np.asarray(Xn) - Xgt, axis=1).mean()
+    assert float(info["cost"]) < float(info["cost0"]) * 1e-2
+    assert err1 < err0 * 0.05, (err0, err1)
