@@ -1,1 +1,1 @@
-from sfm_tpu.ops.pallas import lk_kernel, shi_tomasi_kernel  # noqa: F401
+from sfm_tpu.ops.pallas import shi_tomasi_kernel  # noqa: F401

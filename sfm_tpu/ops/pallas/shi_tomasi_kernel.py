@@ -25,7 +25,13 @@ from jax.experimental.pallas import tpu as pltpu
 def _roll(x, shift: int, axis: int, interpret: bool):
     if interpret or shift == 0:
         return jnp.roll(x, shift, axis=axis)
-    return pltpu.roll(x, shift, axis=axis)
+    # hardware pltpu.roll requires a non-negative shift; a circular roll
+    # by -k is a roll by (N - k)
+    if shift < 0:
+        shift = x.shape[axis] + shift
+    # tpu.dynamic_rotate needs an i32 shift operand; a bare Python int
+    # becomes i64 under the package-wide x64 mode and fails verification
+    return pltpu.roll(x, jnp.int32(shift), axis=axis)
 
 
 def _box_sum(x, radius: int, interpret: bool):

@@ -5,8 +5,9 @@ Times, at bench scale (640x480 f32 image, 2200 tracks, radius 6,
 16 iterations):
   1. Shi-Tomasi corner response map: ops/features.shi_tomasi_score vs
      ops/pallas/shi_tomasi_kernel.shi_tomasi_score_pallas
-  2. one pyramidal-LK level: ops/klt._lk_level (window-block XLA path)
-     vs ops/pallas/lk_kernel.lk_level_pallas (per-track sequential grid)
+  (the LK Pallas kernel was deleted in round 2 — its per-track dynamic
+  window loads cannot lower to Mosaic TC; ops/klt._lk_level is timed for
+  reference)
 
 Usage: python tools/bench_pallas.py   (on the TPU host env)
 """
@@ -43,7 +44,7 @@ def main():
     from scipy.ndimage import gaussian_filter
 
     from sfm_tpu.ops import features, klt
-    from sfm_tpu.ops.pallas import lk_kernel, shi_tomasi_kernel
+    from sfm_tpu.ops.pallas import shi_tomasi_kernel
 
     rng = np.random.default_rng(0)
     H, W, T, R, IT = 480, 640, 2200, 6, 16
@@ -54,25 +55,22 @@ def main():
     pts = jnp.asarray(rng.uniform(30, 400, (T, 2)), jnp.float32)
     v0 = jnp.zeros((T, 2), jnp.float32)
 
+    print(f"platform: {jax.devices()[0].platform} {jax.devices()[0]}",
+          flush=True)
     st_xla = timeit(jax.jit(lambda im: features.shi_tomasi_score(im, 2)),
                     img0j)
+    print(f"shi_tomasi  XLA    {st_xla:8.3f} ms", flush=True)
     st_pal = timeit(
         jax.jit(lambda im: shi_tomasi_kernel.shi_tomasi_score_pallas(im, 2)),
         img0j)
+    print(f"shi_tomasi  Pallas {st_pal:8.3f} ms   speedup "
+          f"x{st_xla / st_pal:.2f}", flush=True)
 
     lk_xla = timeit(
         jax.jit(lambda a, b, p, v: klt._lk_level(a, b, p, v, IT, R, 1e-4)),
         img0j, img1j, pts, v0)
-    lk_pal = timeit(
-        lambda a, b, p, v: lk_kernel.lk_level_pallas(
-            a, b, p, v, iters=IT, radius=R),
-        img0j, img1j, pts, v0)
-
-    print(f"platform: {jax.devices()[0].platform} {jax.devices()[0]}")
-    print(f"shi_tomasi  XLA {st_xla:8.3f} ms   Pallas {st_pal:8.3f} ms   "
-          f"speedup x{st_xla / st_pal:.2f}")
-    print(f"lk_level    XLA {lk_xla:8.3f} ms   Pallas {lk_pal:8.3f} ms   "
-          f"speedup x{lk_xla / lk_pal:.2f}")
+    print(f"lk_level    XLA    {lk_xla:8.3f} ms (window-block formulation; "
+          "no Pallas twin — see module docstring)", flush=True)
 
 
 if __name__ == "__main__":
