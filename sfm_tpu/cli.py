@@ -82,6 +82,16 @@ def main(argv=None) -> int:
         }.items()
         if v is not None
     }
+    if args.synthetic is not None:
+        # the synthetic ring's noise texture needs the stronger tracker
+        # settings the bench uses (the default/reference KLT numbers are
+        # tuned for real TempleRing images and lose the fast tracks here,
+        # leaving the survivor-median parallax under the keyframe gate);
+        # data-appropriate tracker settings are exactly what a dataset's
+        # config.json would carry
+        for k, v in (("klt.pyr_levels", 4), ("klt.win_radius", 6),
+                     ("klt.iters", 16)):
+            overrides.setdefault(k, v)
     cfg = load_config(args.config, overrides)
 
     # dataset selection (ref py:1388-1396 match/case)
@@ -89,7 +99,14 @@ def main(argv=None) -> int:
         from sfm_tpu.utils.synthetic import SyntheticRingSpec, generate_dataset
 
         out_ds = Path(args.out) / "_synthetic"
-        generate_dataset(out_ds, SyntheticRingSpec(n_frames=args.synthetic))
+        # scale the camera arc with the frame count: spreading a small N
+        # over the whole 360° ring gives untrackable inter-frame motion.
+        # ~7.7°/frame reproduces the bench/TempleRing regime (~22px
+        # median flow: above the 18px keyframe parallax gate, inside the
+        # default KLT basin)
+        arc = min(360.0, args.synthetic * 7.7)
+        generate_dataset(out_ds, SyntheticRingSpec(
+            n_frames=args.synthetic, arc_deg=arc))
         ds = TempleRing.from_dir(out_ds)
     elif args.zip:
         ds = TempleRing.from_zip(args.zip, args.extract_to)

@@ -115,7 +115,10 @@ class LoopConfig:
 class PoseGraphConfig:
     """ref: py:305-313 full-SE(3) LM; cpp:1131-1197 center-only linear."""
 
-    mode: str = "se3"  # "se3" (python semantics) or "centers" (cpp semantics)
+    # "se3" (python reference semantics), "centers" (cpp reference
+    # semantics), or "sim3" (7-dof with per-keyframe scale — monocular
+    # scale-drift correction over long loops; beyond the reference)
+    mode: str = "se3"
     iters: int = 10
     lambda0: float = 0.01
     eps: float = 1e-6

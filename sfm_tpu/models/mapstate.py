@@ -60,6 +60,9 @@ class Edge:
     is_loop: bool = False
     w_rot: float = 1.0
     w_trans: float = 1.0
+    # measured relative scale s_i/s_j for Sim(3) pose-graph mode
+    # (1.0 = scale-consistent; loop closures may reveal monocular drift)
+    s_rel: float = 1.0
 
 
 def _grow(arr: np.ndarray, n_needed: int) -> np.ndarray:

@@ -533,6 +533,45 @@ def _loop_verify_stage(key, Kf, img_old, img_new, levels: int,
     ])
 
 
+@partial(jax.jit, static_argnames=("levels", "lk_iters", "radius",
+                                   "pnp_iters"))
+def _loop_pnp_stage(Kf, img_old, img_new, uv_old, X_old, m_old,
+                    R_wc0, t_wc0, levels: int, lk_iters: int, radius: int,
+                    fb_thresh, huber_delta, pnp_iters: int = 12):
+    """Loop-closure verification via PnP against the old keyframe's map.
+
+    The reference verifies loops with an E-matrix re-estimate
+    (cpp:1856-1859), but E = [t]x R vanishes with the baseline: at a
+    (near-)exact revisit BOTH the recovered rotation and direction are
+    noise, and a pose-graph edge built from them corrupts trajectories
+    whose drift is smaller than that noise. Once a map exists the
+    strictly better measurement is 3D->2D: LK-retrack the old keyframe's
+    MAPPED tracks into the new frame and run robust PnP — metric,
+    scale-resolved, and accurate at ANY baseline (including zero).
+    One device program, one host pull.
+
+    Returns pack [R_wc(9), t_wc(3), pnp_inliers, n_tracked, inlier_rms].
+    """
+    pyr_old = _build_pyr(img_old, levels)
+    pyr_new = _build_pyr(img_new, levels)
+    new_pts, ok = klt.lk_track_fb(
+        pyr_old, pyr_new, uv_old, m_old,
+        levels=levels, iters=lk_iters, radius=radius, fb_thresh=fb_thresh)
+    xj = epipolar.normalize_by_K(Kf, new_pts.astype(f32))
+    use = ok & m_old
+    R, t, info = pnp_ops.refine_pose(
+        R_wc0.astype(f32), t_wc0.astype(f32), X_old.astype(f32), xj, use,
+        iters=pnp_iters, huber_delta=huber_delta)
+    return jnp.concatenate([
+        R.reshape(9).astype(f32), t.astype(f32),
+        jnp.stack([
+            info["inliers"].astype(f32),
+            jnp.sum(use).astype(f32),
+            info["inlier_rms"].astype(f32),
+        ]),
+    ])
+
+
 # ---------------------------------------------------------------------------
 # Host wrapper
 # ---------------------------------------------------------------------------
@@ -670,29 +709,102 @@ class ScanSfM:
         cur_kf = int(cur_kf_arr[0])
         old_img = self._images[frames[cand_kf]]
         new_img = self._images[cur_frame]
-        rp, n_tracked = self._verify_pair(old_img, new_img)
-        if rp is None:
-            log.info("loop candidate %d->%d rejected (tracked=%d)",
-                     cand_kf, cur_kf, n_tracked)
+        edge = self._verify_loop(cand_kf, cur_kf, old_img, new_img)
+        if edge is None:
             return
-        t_ji = rp.t.copy()
-        if self.cfg.translation_mode != TranslationMode.FULL:
-            n = np.linalg.norm(t_ji)
-            if n > 1e-12:
-                t_ji = t_ji / n
-        self.loop_edges.append(Edge(
-            i=cand_kf, j=cur_kf, R_ji=rp.R.copy(), t_ji=t_ji,
-            inliers=rp.num_inliers, is_loop=True,
-            w_rot=self.cfg.pose_graph.loop_weight,
-            w_trans=self.cfg.pose_graph.loop_weight,
-        ))
+        self.loop_edges.append(edge)
         for met in reversed(self.metrics):
             if met.get("frame") == cur_frame:
                 met["loop"] = (cand_kf, cur_kf)
                 break
         log.info("loop closure %d -> %d (inliers %d)", cand_kf, cur_kf,
-                 rp.num_inliers)
+                 edge.inliers)
         self._pose_graph_pushback()
+
+    def _verify_loop(self, cand_kf: int, cur_kf: int, old_img, new_img):
+        """Verify a loop candidate and build its pose-graph edge.
+
+        Primary path: PnP against the old keyframe's mapped tracks
+        (``_loop_pnp_stage``) — metric and reliable at any baseline.
+        Fallback (old keyframe has too few mapped tracks): the
+        reference-style corner re-detect + LK + E-RANSAC
+        (``_loop_verify_stage``), with its edge weight gated by baseline
+        since E degenerates as the baseline vanishes."""
+        lcfg = self.cfg.loop
+        kcfg = self.cfg.klt
+        ring = self.carry.ring
+        pid_row = np.asarray(ring.pid[cand_kf])
+        m_old = np.asarray(ring.tvalid[cand_kf]) & (pid_row >= 0)
+        lw = self.cfg.pose_graph.loop_weight
+        if int(m_old.sum()) >= 30:
+            R_cw_o = np.asarray(ring.R_cw[cand_kf], np.float64)
+            C_o = np.asarray(ring.t_cw[cand_kf], np.float64)
+            R_wc0 = R_cw_o.T
+            t_wc0 = -R_wc0 @ C_o
+            X_old = np.asarray(self.carry.X)[
+                np.clip(pid_row, 0, self.p_cap - 1)]
+            fx = float(self.K[0, 0])
+            pack = np.asarray(_loop_pnp_stage(
+                self._Kj, jnp.asarray(old_img), jnp.asarray(new_img),
+                ring.uv[cand_kf], jnp.asarray(X_old, f32),
+                jnp.asarray(m_old),
+                jnp.asarray(R_wc0, f32), jnp.asarray(t_wc0, f32),
+                levels=kcfg.pyr_levels, lk_iters=kcfg.iters,
+                radius=kcfg.win_radius, fb_thresh=kcfg.fb_thresh,
+                huber_delta=self.cfg.ba.huber_delta / fx,
+            ), np.float64)  # one pull
+            R_wc_j = pack[:9].reshape(3, 3)
+            t_wc_j = pack[9:12]
+            inliers = int(pack[12])
+            n_tracked = int(pack[13])
+            if n_tracked < min(lcfg.min_tracked, 30) \
+                    or inliers < lcfg.min_inliers:
+                log.info("loop candidate %d->%d rejected "
+                         "(pnp tracked=%d inliers=%d)",
+                         cand_kf, cur_kf, n_tracked, inliers)
+                return None
+            # edge from the PnP pose: metric translation, scale resolved
+            R_ji = R_wc_j @ R_cw_o
+            t_ji = R_wc_j @ C_o + t_wc_j
+            b = float(np.linalg.norm(t_ji))
+            w_tr = lw
+            if self.cfg.translation_mode != TranslationMode.FULL:
+                # dir-mode residual compares unit vectors: still gate the
+                # translation by the (now metric, PnP-measured) baseline —
+                # a zero-length translation has no direction
+                n_kf = int(self.carry.kf_count)
+                cs = np.asarray(ring.t_cw, np.float64)[:n_kf]
+                odo = np.linalg.norm(np.diff(cs, axis=0), axis=1)
+                b_ref = float(np.median(odo)) if len(odo) else 1.0
+                w_tr = lw * min(1.0, b / max(b_ref, 1e-12))
+            return Edge(i=cand_kf, j=cur_kf, R_ji=R_ji, t_ji=t_ji,
+                        inliers=inliers, is_loop=True,
+                        w_rot=lw, w_trans=w_tr)
+        # ---- fallback: reference-style E-RANSAC verification ----------
+        rp, n_tracked = self._verify_pair(old_img, new_img)
+        if rp is None:
+            log.info("loop candidate %d->%d rejected (tracked=%d)",
+                     cand_kf, cur_kf, n_tracked)
+            return None
+        t_ji = rp.t.copy()
+        if self.cfg.translation_mode != TranslationMode.FULL:
+            n = np.linalg.norm(t_ji)
+            if n > 1e-12:
+                t_ji = t_ji / n
+        # E = [t]x R vanishes with the baseline: gate BOTH rotation and
+        # translation weights by the estimated baseline so a near-revisit
+        # edge (direction AND rotation unobservable) self-silences — the
+        # reference's center-only solve does this implicitly via its
+        # length scaling (cpp:1156-1157)
+        n_kf = int(self.carry.kf_count)
+        cs = np.asarray(ring.t_cw, np.float64)[:n_kf]
+        odo = np.linalg.norm(np.diff(cs, axis=0), axis=1)
+        b_ref = float(np.median(odo)) if len(odo) else 1.0
+        b = float(np.linalg.norm(cs[cur_kf] - cs[cand_kf]))
+        w_loop = lw * min(1.0, b / max(b_ref, 1e-12))
+        return Edge(i=cand_kf, j=cur_kf, R_ji=rp.R.copy(), t_ji=t_ji,
+                    inliers=rp.num_inliers, is_loop=True,
+                    w_rot=w_loop, w_trans=w_loop)
 
     def _verify_pair(self, old_img, new_img):
         from sfm_tpu.models.system import TwoView
@@ -757,9 +869,23 @@ class ScanSfM:
         w_rot = np.zeros(Ep)
         w_trans = np.zeros(Ep)
         valid = np.zeros(Ep, bool)
+        R_all = np.asarray(ring.R_cw, np.float64)
+        C_all = np.asarray(ring.t_cw, np.float64)
+        t_full = np.zeros(Ep, bool)
         for k, e in enumerate(edges):
             e_i[k], e_j[k] = e.i, e.j
-            R_meas[k], t_meas[k] = e.R_ji, e.t_ji
+            if not e.is_loop and e.j == e.i + 1:
+                # refresh odometry constraints from the BA-refined ring
+                # poses (metric, t_full) so the solve distributes loop
+                # error instead of dragging refined poses toward raw
+                # pre-BA measurements — and so dir-mode centers cannot
+                # slide along fixed directions at zero cost (see
+                # system.py:_run_pose_graph for the full rationale)
+                R_meas[k] = R_all[e.j].T @ R_all[e.i]
+                t_meas[k] = R_all[e.j].T @ (C_all[e.i] - C_all[e.j])
+                t_full[k] = True
+            else:
+                R_meas[k], t_meas[k] = e.R_ji, e.t_ji
             w_rot[k] = pcfg.w_rot * e.w_rot
             w_trans[k] = pcfg.w_trans * e.w_trans
             valid[k] = True
@@ -768,10 +894,18 @@ class ScanSfM:
             e_i=jnp.asarray(e_i), e_j=jnp.asarray(e_j),
             R_meas=jnp.asarray(R_meas), t_meas=jnp.asarray(t_meas),
             w_rot=jnp.asarray(w_rot), w_trans=jnp.asarray(w_trans),
-            valid=jnp.asarray(valid),
+            valid=jnp.asarray(valid), t_full=jnp.asarray(t_full),
         )
         if pcfg.mode == "centers":
             R_new, C_new, _ = pg_ops.optimize_centers(prob)
+        elif pcfg.mode == "sim3":
+            s_meas = np.ones(Ep)
+            for k, e in enumerate(edges):
+                s_meas[k] = e.s_rel
+            R_new, C_new, _s, _ = pg_ops.optimize_sim3(
+                prob, s_meas=jnp.asarray(s_meas),
+                mode=self.cfg.translation_mode.value,
+                iters=pcfg.iters, lambda0=pcfg.lambda0)
         else:
             R_new, C_new, _ = pg_ops.optimize_se3(
                 prob, mode=self.cfg.translation_mode.value,

@@ -586,6 +586,29 @@ class SfMSystem:
         )
         return tri_meta, (tri_X, tri_ok)
 
+    def _loop_edge_weight(self, i: int, j: int) -> float:
+        """Loop-edge weight, scaled by the estimated loop baseline
+        relative to the typical odometry baseline.
+
+        The loop edge comes from an E-matrix (epipolar) verification,
+        and E = [t]x R vanishes as the baseline does: at an (near-)exact
+        revisit BOTH the recovered direction and rotation are noise — a
+        full-weight constraint then warps an accurate trajectory to
+        satisfy a measurement noisier than the drift it corrects (the
+        reference's center-only solve self-silences such edges by scaling
+        the measured direction with the current edge length,
+        cpp:1156-1157). Gating by baseline keeps loop edges active
+        exactly where the epipolar geometry is well-conditioned (e.g. the
+        360-degree ring's 46->0 closure at a ~1-step baseline)."""
+        lw = self.cfg.pose_graph.loop_weight
+        cs = [kf.t_cw for kf in self.kfs]
+        if len(cs) < 2:
+            return lw
+        odo = np.linalg.norm(np.diff(np.stack(cs), axis=0), axis=1)
+        b_ref = float(np.median(odo))
+        b = float(np.linalg.norm(cs[j] - cs[i])) if j < len(cs) else b_ref
+        return lw * min(1.0, b / max(b_ref, 1e-12))
+
     @staticmethod
     def _relative_from_poses(kf_i: Keyframe, kf_j: Keyframe):
         """R_ji, t_ji from camera-to-world poses: x_j = R_ji x_i + t_ji."""
@@ -713,7 +736,16 @@ class SfMSystem:
         old = cands[best]
         if old.pyr is None:
             return False
-        # re-detect on the old keyframe and LK-track into the new one
+        # primary verification: PnP against the old keyframe's mapped
+        # tracks — metric and reliable at ANY baseline (E-matrix
+        # verification degenerates at a near-exact revisit; see
+        # scan_pipeline._loop_pnp_stage). A definitive PnP rejection is
+        # final — E-RANSAC must not overrule the stronger test.
+        pnp_verdict = self._try_loop_pnp(old, kf)
+        if pnp_verdict is not None:
+            return pnp_verdict
+        # fallback (old keyframe has too few mapped tracks): re-detect on
+        # the old keyframe and LK-track into the new one
         # (ref cpp:1836-1854: shi_tomasi 1200 pts + fwd/bwd LK)
         xy, _, dvalid = features.detect_corners(
             old.pyr[0],
@@ -748,17 +780,72 @@ class SfMSystem:
         self._append_loop_edge(old, kf, rp)
         return True
 
+    def _try_loop_pnp(self, old: Keyframe, kf: Keyframe) -> bool | None:
+        """PnP loop verification against the old keyframe's mapped
+        tracks; appends a metric loop edge on success. Returns None when
+        not applicable (old keyframe has too few mapped tracks — caller
+        falls back to the reference-style E-RANSAC verify), else the
+        definitive verdict."""
+        from sfm_tpu.models.scan_pipeline import _loop_pnp_stage
+
+        lcfg = self.cfg.loop
+        pids = self.map.pids_for(old.ids)
+        m_old = old.valid & (pids >= 0)
+        if int(m_old.sum()) < 30:
+            return None
+        X_slot = np.zeros((len(pids), 3), np.float32)
+        X_slot[m_old] = self.map.xyz()[pids[m_old]]
+        R_wc0, t_wc0 = old.pose_wc
+        fx = float(self.K[0, 0])
+        pack = np.asarray(_loop_pnp_stage(
+            self._Kj, old.pyr[0], kf.pyr[0],
+            jnp.asarray(old.uv, jnp.float32), jnp.asarray(X_slot),
+            jnp.asarray(m_old),
+            jnp.asarray(R_wc0, jnp.float32), jnp.asarray(t_wc0, jnp.float32),
+            levels=self.cfg.klt.pyr_levels, lk_iters=self.cfg.klt.iters,
+            radius=self.cfg.klt.win_radius, fb_thresh=self.cfg.klt.fb_thresh,
+            huber_delta=self.cfg.ba.huber_delta / fx,
+        ), np.float64)  # one pull
+        R_wc_j = pack[:9].reshape(3, 3)
+        t_wc_j = pack[9:12]
+        inliers = int(pack[12])
+        n_tracked = int(pack[13])
+        if n_tracked < min(lcfg.min_tracked, 30) \
+                or inliers < lcfg.min_inliers:
+            return False
+        R_ji = R_wc_j @ old.R_cw
+        t_ji = R_wc_j @ old.t_cw + t_wc_j
+        lw = self.cfg.pose_graph.loop_weight
+        w_tr = lw
+        if self.cfg.translation_mode != TranslationMode.FULL:
+            # a zero-length metric translation has no direction for the
+            # dir-mode residual to constrain
+            cs = np.stack([k.t_cw for k in self.kfs])
+            odo = np.linalg.norm(np.diff(cs, axis=0), axis=1)
+            b_ref = float(np.median(odo)) if len(odo) else 1.0
+            w_tr = lw * min(
+                1.0, float(np.linalg.norm(t_ji)) / max(b_ref, 1e-12))
+        self.edges.append(
+            Edge(i=old.kf_id, j=kf.kf_id, R_ji=R_ji, t_ji=t_ji,
+                 inliers=inliers, is_loop=True, w_rot=lw, w_trans=w_tr)
+        )
+        log.info("loop closure %d -> %d (pnp inliers %d)",
+                 old.kf_id, kf.kf_id, inliers)
+        if self.metrics:
+            self.metrics[-1]["loop"] = (old.kf_id, kf.kf_id)
+        return True
+
     def _append_loop_edge(self, old: Keyframe, kf: Keyframe, rp: "TwoView") -> None:
         t_ji = rp.t.copy()
         if self.cfg.translation_mode != TranslationMode.FULL:
             n = np.linalg.norm(t_ji)
             if n > 1e-12:
                 t_ji = t_ji / n * self._edge_scale(old.frame_idx, kf.frame_idx)
+        w_loop = self._loop_edge_weight(old.kf_id, kf.kf_id)
         self.edges.append(
             Edge(i=old.kf_id, j=kf.kf_id, R_ji=rp.R.copy(),
                  t_ji=t_ji, inliers=rp.num_inliers, is_loop=True,
-                 w_rot=self.cfg.pose_graph.loop_weight,
-                 w_trans=self.cfg.pose_graph.loop_weight)
+                 w_rot=w_loop, w_trans=w_loop)
         )
         log.info("loop closure %d -> %d (inliers %d)",
                  old.kf_id, kf.kf_id, rp.num_inliers)
@@ -787,11 +874,31 @@ class SfMSystem:
         w_rot = np.zeros(Ep)
         w_trans = np.zeros(Ep)
         valid = np.zeros(Ep, bool)
+        t_full = np.zeros(Ep, bool)
         for k, e in enumerate(self.edges):
             e_i[k] = e.i
             e_j[k] = e.j
-            R_meas[k] = e.R_ji
-            t_meas[k] = e.t_ji
+            if not e.is_loop and e.j == e.i + 1:
+                # refresh odometry constraints from the current
+                # (BA-refined) poses: the solve then purely distributes
+                # loop-closure error along the chain instead of dragging
+                # refined poses back toward the raw pre-BA two-view
+                # measurements (which are strictly noisier). Loop edges
+                # keep their independently verified measurements — they
+                # carry the drift signal. Exported edges (self.edges)
+                # keep the raw measurements for reference parity.
+                # The refreshed edges keep their METRIC length and use
+                # the full translation residual even in dir mode
+                # (PoseGraphProblem.t_full): without length constraints
+                # the chain's centers can slide along the fixed
+                # directions at zero cost.
+                R_m, t_m = self._relative_from_poses(
+                    self.kfs[e.i], self.kfs[e.j])
+                R_meas[k], t_meas[k] = R_m, t_m
+                t_full[k] = True
+            else:
+                R_meas[k] = e.R_ji
+                t_meas[k] = e.t_ji
             w_rot[k] = pcfg.w_rot * e.w_rot
             w_trans[k] = pcfg.w_trans * e.w_trans
             valid[k] = True
@@ -800,10 +907,19 @@ class SfMSystem:
             e_i=jnp.asarray(e_i), e_j=jnp.asarray(e_j),
             R_meas=jnp.asarray(R_meas), t_meas=jnp.asarray(t_meas),
             w_rot=jnp.asarray(w_rot), w_trans=jnp.asarray(w_trans),
-            valid=jnp.asarray(valid),
+            valid=jnp.asarray(valid), t_full=jnp.asarray(t_full),
         )
         if pcfg.mode == "centers":
             R_new, C_new, info = pg_ops.optimize_centers(prob)
+        elif pcfg.mode == "sim3":
+            s_meas = np.ones(Ep)
+            for k, e in enumerate(self.edges):
+                s_meas[k] = e.s_rel
+            R_new, C_new, _s, info = pg_ops.optimize_sim3(
+                prob, s_meas=jnp.asarray(s_meas),
+                mode=self.cfg.translation_mode.value,
+                iters=pcfg.iters, lambda0=pcfg.lambda0,
+            )
         else:
             R_new, C_new, info = pg_ops.optimize_se3(
                 prob, mode=self.cfg.translation_mode.value,

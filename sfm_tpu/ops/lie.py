@@ -62,7 +62,12 @@ def so3_log(R):
     """
     dtype = R.dtype
     tr = R[..., 0, 0] + R[..., 1, 1] + R[..., 2, 2]
-    cos_t = jnp.clip((tr - 1.0) * 0.5, -1.0, 1.0)
+    # clip strictly inside (-1, 1): arccos' gradient is -1/sqrt(1-x^2),
+    # which is NaN at exactly +-1 (e.g. jacfwd of a pose graph whose
+    # residual rotation is exactly identity). The eps-clip zeroes the
+    # boundary derivative instead; the value error (~1.5e-6 rad) is far
+    # below the Taylor-branch threshold so results are unchanged.
+    cos_t = jnp.clip((tr - 1.0) * 0.5, -1.0 + 1e-12, 1.0 - 1e-12)
     theta = jnp.arccos(cos_t)
     sin_t = jnp.sin(theta)
 

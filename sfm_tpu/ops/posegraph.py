@@ -35,6 +35,13 @@ class PoseGraphProblem(NamedTuple):
     w_rot: jnp.ndarray  # (E,)
     w_trans: jnp.ndarray  # (E,)
     valid: jnp.ndarray  # (E,) bool
+    # optional per-edge override: True -> full (metric) translation
+    # residual for this edge even in "dir" mode. Without length
+    # constraints a dir-mode chain can slide its centers along the fixed
+    # directions at ZERO cost, so a handful of noisy loop directions can
+    # drag every center; pinning the (refreshed, self-consistent)
+    # odometry lengths removes that null space.
+    t_full: jnp.ndarray | None = None
 
 
 def _edge_residuals(R_cw, C, p: PoseGraphProblem, mode: str):
@@ -51,6 +58,8 @@ def _edge_residuals(R_cw, C, p: PoseGraphProblem, mode: str):
         tp = t_pred / (jnp.linalg.norm(t_pred, axis=-1, keepdims=True) + 1e-12)
         tm = p.t_meas / (jnp.linalg.norm(p.t_meas, axis=-1, keepdims=True) + 1e-12)
         r_tr = tp - tm
+        if p.t_full is not None:
+            r_tr = jnp.where(p.t_full[:, None], t_pred - p.t_meas, r_tr)
     elif mode == "full":
         r_tr = t_pred - p.t_meas
     else:  # "rot"
@@ -114,6 +123,109 @@ def optimize_se3(p: PoseGraphProblem, mode: str = "dir", iters: int = 10,
         length=iters,
     )
     return R_cw, C, {"cost0": cost0, "cost": cost, "hist": hist}
+
+
+@partial(jax.jit, static_argnames=("mode", "iters"))
+def optimize_sim3(p: PoseGraphProblem, s_meas=None, mode: str = "dir",
+                  iters: int = 10, lambda0: float = 0.01,
+                  w_scale: float = 1.0):
+    """Sim(3) pose-graph LM: per-node scale absorbs monocular scale drift
+    (Strasdat-style 7-dof graph; capability beyond the reference, which
+    has no scale-drift handling — its loops are short enough not to need
+    it, ref cpp:1131-1197 optimizes centers only).
+
+    Node i maps camera coords to world via ``x_w = s_i·R_cw,i·x_c + C_i``,
+    so the predicted relative edge i→j is
+      R_pred = R_jᵀR_i,  s_pred = s_i/s_j,  t_pred = R_jᵀ(C_i−C_j)/s_j.
+    ``s_meas`` (E,) is the measured relative scale per edge (odometry
+    edges: 1.0 — monocular scale is propagated; loop edges: the drift
+    revealed by the closure, e.g. from Umeyama over shared points).
+    Residuals: so3_log rotation, dir/full translation (as in
+    ``optimize_se3``), and ``log(s_pred) − log(s_meas)``.
+
+    Pose 0 fixes both the gauge and the global scale (s_0 ≡ 1).
+    Returns (R_cw, C, s, info)."""
+    N = p.R_cw.shape[0]
+    dtype = p.R_cw.dtype
+    if s_meas is None:
+        s_meas = jnp.ones(p.e_i.shape[0], dtype)
+
+    def residuals(R_cw, C, log_s):
+        Ri, Rj = R_cw[p.e_i], R_cw[p.e_j]
+        Ci, Cj = C[p.e_i], C[p.e_j]
+        sj = jnp.exp(log_s[p.e_j])
+        R_pred = jnp.swapaxes(Rj, -1, -2) @ Ri
+        t_pred = jnp.einsum(
+            "eij,ej->ei", jnp.swapaxes(Rj, -1, -2), Ci - Cj
+        ) / sj[:, None]
+        r_rot = lie.so3_log(jnp.swapaxes(p.R_meas, -1, -2) @ R_pred)
+        if mode == "dir":
+            tp = t_pred / (jnp.linalg.norm(t_pred, axis=-1, keepdims=True)
+                           + 1e-12)
+            tm = p.t_meas / (jnp.linalg.norm(p.t_meas, axis=-1,
+                                             keepdims=True) + 1e-12)
+            r_tr = tp - tm
+            if p.t_full is not None:
+                r_tr = jnp.where(p.t_full[:, None], t_pred - p.t_meas, r_tr)
+        elif mode == "full":
+            r_tr = t_pred - p.t_meas
+        else:
+            r_tr = jnp.zeros_like(t_pred)
+        r_s = (log_s[p.e_i] - log_s[p.e_j]
+               - jnp.log(jnp.maximum(s_meas, 1e-12)))
+        r = jnp.concatenate(
+            [r_rot * p.w_rot[:, None], r_tr * p.w_trans[:, None],
+             (w_scale * r_s)[:, None]], axis=-1)
+        return jnp.where(p.valid[:, None], r, 0.0)
+
+    D = 7
+
+    def apply_delta(R_cw, C, log_s, dx):
+        dx = dx.at[0].set(0.0)
+        dR = lie.so3_exp(dx[:, :3])
+        return dR @ R_cw, C + dx[:, 3:6], log_s + dx[:, 6]
+
+    def cost_of(R_cw, C, log_s):
+        r = residuals(R_cw, C, log_s)
+        return jnp.sum(r * r)
+
+    def lm_step(carry, _):
+        R_cw, C, log_s, lam, cost = carry
+
+        def resid_flat(dx):
+            R2, C2, ls2 = apply_delta(R_cw, C, log_s, dx.reshape(N, D))
+            return residuals(R2, C2, ls2).ravel()
+
+        dx0 = jnp.zeros(N * D, dtype)
+        J = jax.jacfwd(resid_flat)(dx0)
+        r0 = resid_flat(dx0)
+        H = J.T @ J
+        g = J.T @ r0
+        dH = jnp.diag(H)
+        H = H + jnp.diag(lam * jnp.maximum(dH, 1e-8) + 1e-10)
+        prior = jnp.concatenate(
+            [jnp.full(D, 1e12, dtype), jnp.zeros(D * (N - 1), dtype)])
+        H = H + jnp.diag(prior)
+        dx = linalg.solve_psd(H, -g, jitter=1e-12)
+        R_try, C_try, ls_try = apply_delta(R_cw, C, log_s, dx.reshape(N, D))
+        new_cost = cost_of(R_try, C_try, ls_try)
+        accept = new_cost < cost
+        R_cw = jnp.where(accept, R_try, R_cw)
+        C = jnp.where(accept, C_try, C)
+        log_s = jnp.where(accept, ls_try, log_s)
+        cost = jnp.where(accept, new_cost, cost)
+        lam = jnp.where(accept, lam * 0.3, lam * 2.0)
+        return (R_cw, C, log_s, lam, cost), cost
+
+    log_s0 = jnp.zeros(N, dtype)
+    cost0 = cost_of(p.R_cw, p.C, log_s0)
+    (R_cw, C, log_s, lam, cost), hist = jax.lax.scan(
+        lm_step,
+        (p.R_cw, p.C, log_s0, jnp.asarray(lambda0, dtype), cost0), None,
+        length=iters,
+    )
+    return R_cw, C, jnp.exp(log_s), {"cost0": cost0, "cost": cost,
+                                     "hist": hist}
 
 
 @jax.jit

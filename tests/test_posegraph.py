@@ -108,6 +108,194 @@ def test_centers_mode_straightens_drift(rng):
     assert center_cost(C) < 0.2 * center_cost(prob.C) + 1e-12
 
 
+def make_sim3_problem(rng, n=12, drift_rot=0.02, drift_tr=0.02,
+                      drift_scale=0.06):
+    """Sim(3)-consistent GT: node scales drift along the chain; edge
+    measurements carry the true relative scale s_i/s_j."""
+    R_gt, C_gt = ring_poses(n)
+    s_gt = np.cumprod(np.concatenate(
+        [[1.0], np.exp(rng.standard_normal(n - 1) * drift_scale)]))
+    edges = [(k, k + 1) for k in range(n - 1)] + [(0, n - 1)]
+    E = len(edges)
+    e_i = np.array([e[0] for e in edges], np.int32)
+    e_j = np.array([e[1] for e in edges], np.int32)
+    R_meas = np.zeros((E, 3, 3))
+    t_meas = np.zeros((E, 3))
+    s_meas = np.zeros(E)
+    for k, (i, j) in enumerate(edges):
+        R_meas[k] = R_gt[j].T @ R_gt[i]
+        t_meas[k] = R_gt[j].T @ (C_gt[i] - C_gt[j]) / s_gt[j]
+        s_meas[k] = s_gt[i] / s_gt[j]
+    # noisy init (pose 0 exact; scales start at 1)
+    R0, C0 = [R_gt[0]], [C_gt[0]]
+    dR, dC = np.eye(3), np.zeros(3)
+    for k in range(1, n):
+        dR = dR @ np.asarray(
+            lie.so3_exp(jnp.asarray(rng.standard_normal(3) * drift_rot)))
+        dC = dC + rng.standard_normal(3) * drift_tr
+        R0.append(dR @ R_gt[k])
+        C0.append(C_gt[k] + dC)
+    prob = pg.PoseGraphProblem(
+        R_cw=jnp.asarray(np.stack(R0)), C=jnp.asarray(np.stack(C0)),
+        e_i=jnp.asarray(e_i), e_j=jnp.asarray(e_j),
+        R_meas=jnp.asarray(R_meas), t_meas=jnp.asarray(t_meas),
+        w_rot=jnp.ones(E), w_trans=jnp.ones(E), valid=jnp.ones(E, bool),
+    )
+    return prob, jnp.asarray(s_meas), R_gt, C_gt, s_gt
+
+
+def test_sim3_recovers_scale_drift(rng):
+    """Full-mode Sim(3) LM must recover poses AND per-node scales of a
+    sim3-consistent graph (s_0 = 1 gauge)."""
+    prob, s_meas, R_gt, C_gt, s_gt = make_sim3_problem(rng)
+    R, C, s, info = pg.optimize_sim3(prob, s_meas=s_meas, mode="full",
+                                     iters=20)
+    assert float(info["cost"]) < 1e-8 * max(float(info["cost0"]), 1.0)
+    np.testing.assert_allclose(np.asarray(s), s_gt, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(C), C_gt, atol=1e-4)
+    for k in range(len(C_gt)):
+        dR = np.asarray(R[k]) @ R_gt[k].T
+        ang = np.linalg.norm(np.asarray(lie.so3_log(jnp.asarray(dR))))
+        assert ang < 1e-4, (k, ang)
+
+
+def test_sim3_corrects_monocular_loop_drift(rng):
+    """The monocular use case: a chain whose estimated centers carry
+    accumulated scale growth; odometry edges are self-consistent
+    (s_meas=1) but one loop edge carries the revealed relative scale.
+    Sim(3) optimization must pull the trajectory back toward GT where
+    SE(3) (scales frozen at 1) cannot."""
+    n = 12
+    R_gt, C_gt = ring_poses(n)
+    growth = 1.05  # 5% per-step scale inflation
+    s_drift = growth ** np.arange(n)
+    # drifted estimate: edge lengths inflated progressively
+    C_est = [C_gt[0]]
+    for k in range(1, n):
+        step = (C_gt[k] - C_gt[k - 1]) * s_drift[k]
+        C_est.append(C_est[-1] + step)
+    C_est = np.stack(C_est)
+    edges = [(k, k + 1) for k in range(n - 1)] + [(0, n - 1)]
+    E = len(edges)
+    e_i = np.array([e[0] for e in edges], np.int32)
+    e_j = np.array([e[1] for e in edges], np.int32)
+    R_meas = np.zeros((E, 3, 3))
+    t_meas = np.zeros((E, 3))
+    s_meas = np.ones(E)
+    for k, (i, j) in enumerate(edges):
+        R_meas[k] = R_gt[j].T @ R_gt[i]
+        if j == i + 1:  # odometry: measured from the DRIFTED estimate
+            t_meas[k] = R_gt[j].T @ (C_est[i] - C_est[j])
+        else:
+            # loop: measured in j's local (inflated) scale; the closure's
+            # map comparison reveals the relative scale s_i/s_j =
+            # s_drift[j] (node-scale convention: x_w = s·R·x_c + C, so a
+            # drift-inflated node has node scale 1/s_drift)
+            t_meas[k] = R_gt[j].T @ (C_gt[i] - C_gt[j]) * s_drift[j]
+            s_meas[k] = s_drift[j]
+    prob = pg.PoseGraphProblem(
+        R_cw=jnp.asarray(R_gt), C=jnp.asarray(C_est),
+        e_i=jnp.asarray(e_i), e_j=jnp.asarray(e_j),
+        R_meas=jnp.asarray(R_meas), t_meas=jnp.asarray(t_meas),
+        w_rot=jnp.ones(E), w_trans=jnp.ones(E), valid=jnp.ones(E, bool),
+    )
+    err0 = np.linalg.norm(C_est - C_gt, axis=1).max()
+    R1, C1, s1, _ = pg.optimize_sim3(
+        prob, s_meas=jnp.asarray(s_meas), mode="full", iters=20)
+    err_sim3 = np.linalg.norm(np.asarray(C1) - C_gt, axis=1).max()
+    R2, C2, _ = pg.optimize_se3(prob, mode="full", iters=20)
+    err_se3 = np.linalg.norm(np.asarray(C2) - C_gt, axis=1).max()
+    assert err_sim3 < 0.35 * err0, (err_sim3, err0)
+    assert err_sim3 < err_se3, (err_sim3, err_se3)
+    # recovered scales track the injected drift direction
+    assert np.all(np.diff(np.log(np.asarray(s1))) > -0.05)
+
+
+def test_dir_mode_t_full_pins_chain_lengths(rng):
+    """Without length constraints a dir-mode chain can slide centers
+    along the fixed directions at zero cost, so one noisy loop direction
+    drags every center; t_full on the odometry edges removes that null
+    space (the pose-graph pushbacks refresh odometry edges from current
+    poses and pin their metric lengths)."""
+    prob, R_gt, C_gt = make_problem(rng, drift_rot=0.0, drift_tr=0.0)
+    E = int(prob.e_i.shape[0])
+    # corrupt the loop edge's measured direction by ~30 degrees
+    t_loop = np.asarray(prob.t_meas[E - 1])
+    perp = np.cross(t_loop, [0.0, 0.0, 1.0])
+    perp /= np.linalg.norm(perp) + 1e-12
+    bad = t_loop + 0.6 * np.linalg.norm(t_loop) * perp
+    t_meas = np.asarray(prob.t_meas).copy()
+    t_meas[E - 1] = bad
+    w_rot = np.asarray(prob.w_rot).copy()
+    w_trans = np.asarray(prob.w_trans).copy()
+    w_rot[E - 1] = 2.0
+    w_trans[E - 1] = 2.0
+    t_full = np.ones(E, bool)
+    t_full[E - 1] = False  # loop edge keeps dir semantics
+    base = prob._replace(t_meas=jnp.asarray(t_meas),
+                         w_rot=jnp.asarray(w_rot),
+                         w_trans=jnp.asarray(w_trans))
+    _, C_free, _ = pg.optimize_se3(base, mode="dir", iters=15)
+    pinned = base._replace(t_full=jnp.asarray(t_full))
+    _, C_pin, _ = pg.optimize_se3(pinned, mode="dir", iters=15)
+    err_free = np.linalg.norm(np.asarray(C_free) - C_gt, axis=1).max()
+    err_pin = np.linalg.norm(np.asarray(C_pin) - C_gt, axis=1).max()
+    # pinning roughly halves the damage even for this adversarial
+    # full-weight 30-degree corruption; in the pipelines the loop edges
+    # are PnP-measured (sub-degree accurate), so the residual being
+    # distributed is drift, not corruption — this asserts the null-space
+    # mechanism, the loop tests assert the end-to-end accuracy
+    assert err_pin < 0.6 * err_free, (err_pin, err_free)
+
+
+def test_sim3_mode_wired_into_system(rng):
+    """pose_graph.mode='sim3' drives optimize_sim3 through the host
+    pipeline's _run_pose_graph (edge s_rel carried through)."""
+    from sfm_tpu.config import PoseGraphConfig, SystemConfig
+    from sfm_tpu.models.mapstate import Edge, Keyframe
+    from sfm_tpu.models.system import SfMSystem
+
+    n = 10
+    R_gt, C_gt = ring_poses(n)
+    growth = 1.06
+    s_drift = growth ** np.arange(n)
+    C_est = [C_gt[0]]
+    for k in range(1, n):
+        C_est.append(C_est[-1] + (C_gt[k] - C_gt[k - 1]) * s_drift[k])
+    C_est = np.stack(C_est)
+
+    K = np.array([[500.0, 0, 160], [0, 500.0, 120], [0, 0, 1]])
+    cfg = SystemConfig(pose_graph=PoseGraphConfig(mode="sim3", iters=15))
+    sys_ = SfMSystem(K, cfg)
+    T = cfg.klt.max_tracks
+    ids = np.arange(T, dtype=np.int32)
+    uv = np.zeros((T, 2), np.float32)
+    val = np.zeros(T, bool)
+    for k in range(n):
+        sys_.kfs.append(Keyframe(
+            kf_id=k, frame_idx=k, img_name=f"f{k}",
+            R_cw=R_gt[k].copy(), t_cw=C_est[k].copy(),
+            ids=ids, uv=uv, valid=val))
+    for k in range(1, n):
+        R_ji = R_gt[k].T @ R_gt[k - 1]
+        t_ji = R_gt[k].T @ (C_est[k - 1] - C_est[k])
+        sys_.edges.append(Edge(i=k - 1, j=k, R_ji=R_ji, t_ji=t_ji))
+    j = n - 1
+    sys_.edges.append(Edge(
+        i=0, j=j, R_ji=R_gt[j].T @ R_gt[0],
+        t_ji=R_gt[j].T @ (C_gt[0] - C_gt[j]) * s_drift[j],
+        is_loop=True, s_rel=s_drift[j]))
+    # full translation mode so scale observability reaches the solver
+    from sfm_tpu.config import TranslationMode
+    object.__setattr__(sys_.cfg, "translation_mode", TranslationMode.FULL)
+
+    err0 = np.linalg.norm(C_est - C_gt, axis=1).max()
+    sys_._run_pose_graph()
+    C_new = np.stack([kf.t_cw for kf in sys_.kfs])
+    err1 = np.linalg.norm(C_new - C_gt, axis=1).max()
+    assert err1 < 0.35 * err0, (err1, err0)
+
+
 def test_padding_invariance(rng):
     prob, R_gt, C_gt = make_problem(rng)
     R1, C1, _ = pg.optimize_se3(prob, mode="full", iters=8)
