@@ -432,64 +432,15 @@ def run_chunk(cfg: SystemConfig, p_ba: int, Kf, carry: ScanCarry,
         img, idx, fval = inp
 
         def do(carry):
-            pyr = _build_pyr(img, cfg.klt.pyr_levels)
-            trk, prev_pos, matched = tracker.step(
-                carry.prev_pyr, pyr, carry.trk, cfg.klt)
-            # track death / replenish clears slot associations
-            slot_pid = jnp.where(matched, carry.slot_pid, -1)
-            fo_kf = jnp.where(matched, carry.fo_kf, -1)
-            key, k1, k2 = jax.random.split(carry.key, 3)
-            xi = epipolar.normalize_by_K(Kf, prev_pos.astype(f32))
-            xj = epipolar.normalize_by_K(Kf, trk.pos.astype(f32))
-            rp = epipolar.find_E_ransac(
-                k1, xi, xj, matched,
-                num_hypotheses=cfg.ransac.num_hypotheses,
-                sampson_thresh=cfg.ransac.sampson_thresh,
-                min_inliers=cfg.ransac.min_inliers,
-            )
-            flow = jnp.linalg.norm(trk.pos - prev_pos, axis=-1)
-            parallax = jnp.nan_to_num(
-                jnp.nanmedian(jnp.where(matched, flow, jnp.nan)))
-            # frame-to-frame pose compose T_cw' = T_cw ∘ T_ji^{-1}
-            # (ref py:117-127, py:1044); unit-scale between keyframes —
-            # the keyframe stage re-derives metric scale from the map
-            R_cw_n = jnp.where(rp.ok, carry.R_cw @ rp.R.T, carry.R_cw)
-            t_cw_n = jnp.where(
-                rp.ok,
-                carry.R_cw @ (-rp.R.T @ rp.t) + carry.t_cw,
-                carry.t_cw,
-            )
-            gap = idx - carry.last_kf_frame
-            make_kf = (~rp.ok) | (
-                (gap >= cfg.keyframe.min_gap)
-                & ((parallax >= cfg.keyframe.parallax_px)
-                   | (rp.num_inliers < cfg.keyframe.min_inliers))
-            )
-            carry = carry._replace(
-                trk=trk, prev_pyr=pyr, R_cw=R_cw_n, t_cw=t_cw_n,
-                slot_pid=slot_pid, fo_kf=fo_kf, key=key)
+            carry, make_kf, k2, y_pre = _track_and_pose(
+                cfg, Kf, carry, img, idx)
             carry, ykf = jax.lax.cond(
                 make_kf,
                 partial(_keyframe_branch, cfg, p_ba, Kf),
                 partial(_no_kf_branch, cfg, p_ba, Kf),
                 (carry, idx, k2),
             )
-            y = jnp.concatenate([
-                jnp.stack([
-                    idx.astype(f32), jnp.float32(1.0), ykf[0],
-                    rp.ok.astype(f32), rp.num_inliers.astype(f32),
-                    parallax.astype(f32),
-                    jnp.sum(matched).astype(f32),
-                    carry.n_pts.astype(f32),
-                ]),
-                ykf[1:3],          # loop score / loop candidate kf
-                ykf[3:5],          # BA cost before/after
-                ykf[5:6],          # edge inliers
-                ykf[6:7],          # propagated scale
-                ykf[7:8],          # PnP inliers
-                ykf[8:9],          # newly triangulated points
-            ])
-            return carry, y
+            return carry, _pack_frame_metrics(carry, idx, y_pre, ykf)
 
         def skip(carry):
             return carry, jnp.zeros((NY,), f32)
@@ -498,6 +449,72 @@ def run_chunk(cfg: SystemConfig, p_ba: int, Kf, carry: ScanCarry,
 
     carry, ys = jax.lax.scan(frame_step, carry, (imgs, idxs, fvalid))
     return carry, ys
+
+
+def _track_and_pose(cfg: SystemConfig, Kf, carry: ScanCarry, img, idx):
+    """The always-on per-frame prefix: pyramid build → KLT step →
+    two-view LO-RANSAC → pose compose → keyframe policy. Shared by the
+    single-scene ``run_chunk`` and the scene-batched gated runner
+    (parallel/multi_scan.run_chunk_scenes_gated).
+
+    Returns (carry', make_kf, kf_key, y_pre) with y_pre = (rp_ok,
+    rp_inliers, parallax, n_matched) as f32 scalars."""
+    pyr = _build_pyr(img, cfg.klt.pyr_levels)
+    trk, prev_pos, matched = tracker.step(
+        carry.prev_pyr, pyr, carry.trk, cfg.klt)
+    # track death / replenish clears slot associations
+    slot_pid = jnp.where(matched, carry.slot_pid, -1)
+    fo_kf = jnp.where(matched, carry.fo_kf, -1)
+    key, k1, k2 = jax.random.split(carry.key, 3)
+    xi = epipolar.normalize_by_K(Kf, prev_pos.astype(f32))
+    xj = epipolar.normalize_by_K(Kf, trk.pos.astype(f32))
+    rp = epipolar.find_E_ransac(
+        k1, xi, xj, matched,
+        num_hypotheses=cfg.ransac.num_hypotheses,
+        sampson_thresh=cfg.ransac.sampson_thresh,
+        min_inliers=cfg.ransac.min_inliers,
+    )
+    flow = jnp.linalg.norm(trk.pos - prev_pos, axis=-1)
+    parallax = jnp.nan_to_num(
+        jnp.nanmedian(jnp.where(matched, flow, jnp.nan)))
+    # frame-to-frame pose compose T_cw' = T_cw ∘ T_ji^{-1}
+    # (ref py:117-127, py:1044); unit-scale between keyframes —
+    # the keyframe stage re-derives metric scale from the map
+    R_cw_n = jnp.where(rp.ok, carry.R_cw @ rp.R.T, carry.R_cw)
+    t_cw_n = jnp.where(
+        rp.ok,
+        carry.R_cw @ (-rp.R.T @ rp.t) + carry.t_cw,
+        carry.t_cw,
+    )
+    gap = idx - carry.last_kf_frame
+    make_kf = (~rp.ok) | (
+        (gap >= cfg.keyframe.min_gap)
+        & ((parallax >= cfg.keyframe.parallax_px)
+           | (rp.num_inliers < cfg.keyframe.min_inliers))
+    )
+    carry = carry._replace(
+        trk=trk, prev_pyr=pyr, R_cw=R_cw_n, t_cw=t_cw_n,
+        slot_pid=slot_pid, fo_kf=fo_kf, key=key)
+    y_pre = (rp.ok.astype(f32), rp.num_inliers.astype(f32),
+             parallax.astype(f32), jnp.sum(matched).astype(f32))
+    return carry, make_kf, k2, y_pre
+
+
+def _pack_frame_metrics(carry: ScanCarry, idx, y_pre, ykf):
+    rp_ok, rp_inl, parallax, n_matched = y_pre
+    return jnp.concatenate([
+        jnp.stack([
+            idx.astype(f32), jnp.float32(1.0), ykf[0],
+            rp_ok, rp_inl, parallax, n_matched,
+            carry.n_pts.astype(f32),
+        ]),
+        ykf[1:3],          # loop score / loop candidate kf
+        ykf[3:5],          # BA cost before/after
+        ykf[5:6],          # edge inliers
+        ykf[6:7],          # propagated scale
+        ykf[7:8],          # PnP inliers
+        ykf[8:9],          # newly triangulated points
+    ])
 
 
 @partial(jax.jit, static_argnames=("levels", "lk_iters", "radius", "cell",

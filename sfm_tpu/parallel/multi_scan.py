@@ -50,9 +50,77 @@ def _run_chunk_scenes(cfg: SystemConfig, p_ba: int, Kf, carry,
     )(carry, imgs)
 
 
+@partial(jax.jit, static_argnames=("cfg", "p_ba"),
+         donate_argnames=("carry",))
+def _run_chunk_scenes_gated(cfg: SystemConfig, p_ba: int, Kf, carry,
+                            imgs, idxs, fvalid):
+    """Scene-batched chunk with an ANY-scene keyframe gate.
+
+    Wholesale ``vmap(run_chunk)`` turns the per-frame keyframe
+    ``lax.cond`` into a select: the heavy branch (edge RANSAC + PnP +
+    triangulation + window BA) runs for EVERY scene on EVERY frame. Here
+    the scene axis is explicit inside the scan body: the always-on
+    prefix (tracking + two-view) is vmapped, and the keyframe branch
+    runs under ONE ``lax.cond`` gated on ``any(make_kf)``, with the
+    per-scene results masked back in. For lockstep captures (scenes
+    keyframing on similar cadences — the multi-scene design point) the
+    branch then fires at single-scene cadence instead of always.
+
+    imgs (S,C,H,W); idxs (C,); fvalid (C,). Returns (carry, ys(S,C,NY)).
+    """
+    S = imgs.shape[0]
+
+    def frame_step(carry, inp):
+        img_s, idx, fval = inp
+
+        def do(carry):
+            carry, make_kf, keys, y_pre = jax.vmap(
+                lambda c, im: sp._track_and_pose(cfg, Kf, c, im, idx)
+            )(carry, img_s)
+            ykf_none = jnp.tile(jnp.concatenate([
+                jnp.zeros((1,), jnp.float32),
+                jnp.array([-1.0, -1.0], jnp.float32),
+                jnp.zeros((6,), jnp.float32),
+            ]), (S, 1))
+
+            def kf_any(args):
+                c, ks = args
+                c2, ykf2 = jax.vmap(
+                    lambda ci, ki: sp._keyframe_branch(
+                        cfg, p_ba, Kf, (ci, idx, ki))
+                )(c, ks)
+
+                def sel(n, o):
+                    m = make_kf.reshape(
+                        make_kf.shape + (1,) * (n.ndim - 1))
+                    return jnp.where(m, n, o)
+
+                c3 = jax.tree.map(sel, c2, c)
+                return c3, jnp.where(make_kf[:, None], ykf2, ykf_none)
+
+            def kf_none(args):
+                return args[0], ykf_none
+
+            carry, ykf = jax.lax.cond(
+                jnp.any(make_kf), kf_any, kf_none, (carry, keys))
+            y = jax.vmap(sp._pack_frame_metrics,
+                         in_axes=(0, None, 0, 0))(carry, idx, y_pre, ykf)
+            return carry, y
+
+        def skip(carry):
+            return carry, jnp.zeros((S, sp.NY), jnp.float32)
+
+        return jax.lax.cond(fval, do, skip, carry)
+
+    imgs_t = jnp.swapaxes(imgs, 0, 1)  # scan over frames: (C,S,H,W)
+    carry, ys = jax.lax.scan(frame_step, carry, (imgs_t, idxs, fvalid))
+    return carry, jnp.swapaxes(ys, 0, 1)  # (S,C,NY)
+
+
 def run_scenes_scan(datasets, cfg: SystemConfig, frames: int | None = None,
                     chunk: int = 16, p_cap: int = 16384, p_ba: int = 1024,
-                    seed: int = 0, images=None, mesh=None):
+                    seed: int = 0, images=None, mesh=None,
+                    gated: bool = True):
     """Reconstruct N scenes in lockstep with full per-scene mapping + BA.
 
     ``datasets``: list of TempleRing handles with identical K/shape.
@@ -96,7 +164,8 @@ def run_scenes_scan(datasets, cfg: SystemConfig, frames: int | None = None,
         imgs_j = jnp.asarray(imgs)
         if shard is not None:
             imgs_j = jax.device_put(imgs_j, shard)
-        carry, ys = _run_chunk_scenes(
+        run = _run_chunk_scenes_gated if gated else _run_chunk_scenes
+        carry, ys = run(
             cfg, p_ba, Kf, carry, imgs_j, jnp.asarray(idxs),
             jnp.asarray(fvalid))
         ys_all.append(np.asarray(ys))  # (S,C,NY)

@@ -46,6 +46,29 @@ def test_multi_scene_scan(four_rings):
         assert float(r["rmse"]) / extent < 0.08, f"scene {s}"
 
 
+def test_gated_matches_ungated(four_rings):
+    """The any-scene-gated chunk program (keyframe branch under ONE
+    lax.cond with per-scene masking) must reproduce the wholesale
+    vmap(run_chunk) results: same keyframe schedule, same geometry."""
+    import numpy as np
+
+    from sfm_tpu.parallel.multi_scan import run_scenes_scan
+
+    dss = four_rings
+    cfg = _small_cfg()
+    kw = dict(frames=8, chunk=4, p_cap=4096, p_ba=256)
+    res_g = run_scenes_scan(dss, cfg, gated=True, **kw)
+    res_u = run_scenes_scan(dss, cfg, gated=False, **kw)
+    np.testing.assert_array_equal(res_g["n_keyframes"],
+                                  res_u["n_keyframes"])
+    np.testing.assert_array_equal(res_g["n_points"], res_u["n_points"])
+    for s in range(len(dss)):
+        np.testing.assert_array_equal(res_g["kf_frames"][s],
+                                      res_u["kf_frames"][s])
+        np.testing.assert_allclose(res_g["centers"][s],
+                                   res_u["centers"][s], atol=1e-4)
+
+
 def test_multi_scene_scan_sharded(four_rings):
     """Same program sharded over the virtual mesh scene axis (SURVEY
     §2.6 scene/data parallelism): results must match the unsharded run
