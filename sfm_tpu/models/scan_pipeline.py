@@ -713,30 +713,43 @@ class ScanSfM:
                   & (ys[:, Y_LOOP_S] > lcfg.score_thresh)]
         if len(rows) == 0:
             return
-        row = rows[np.argmax(rows[:, Y_LOOP_S])]
-        # identify the two keyframes: candidate kf id + the current one
+        # verify the chunk's top-k candidates, best score first: the 32²
+        # descriptor's score margin between a true revisit and texture
+        # noise can be thin (docs/BENCHMARKS.md), so gating on a single
+        # best-of-chunk row can starve the true loop behind a false
+        # candidate — the PnP verification rejects false ones reliably
+        # and is one cheap device call each
+        order = np.argsort(-rows[:, Y_LOOP_S])[: max(lcfg.top_k, 1)]
         ring = self.carry.ring
         frames = np.asarray(ring.frame)
         kvalid = np.asarray(ring.kvalid)
-        cand_kf = int(row[Y_LOOP_K])
-        cur_frame = int(row[Y_FRAME])
-        cur_kf_arr = np.nonzero(kvalid & (frames == cur_frame))[0]
-        if len(cur_kf_arr) == 0 or not kvalid[cand_kf]:
-            return
-        cur_kf = int(cur_kf_arr[0])
-        old_img = self._images[frames[cand_kf]]
-        new_img = self._images[cur_frame]
-        edge = self._verify_loop(cand_kf, cur_kf, old_img, new_img)
-        if edge is None:
-            return
-        self.loop_edges.append(edge)
-        for met in reversed(self.metrics):
-            if met.get("frame") == cur_frame:
-                met["loop"] = (cand_kf, cur_kf)
-                break
-        log.info("loop closure %d -> %d (inliers %d)", cand_kf, cur_kf,
-                 edge.inliers)
-        self._pose_graph_pushback()
+        tried: set[tuple[int, int]] = set()
+        found = False
+        for row in rows[order]:
+            cand_kf = int(row[Y_LOOP_K])
+            cur_frame = int(row[Y_FRAME])
+            cur_kf_arr = np.nonzero(kvalid & (frames == cur_frame))[0]
+            if len(cur_kf_arr) == 0 or not kvalid[cand_kf]:
+                continue
+            cur_kf = int(cur_kf_arr[0])
+            if (cand_kf, cur_kf) in tried:
+                continue
+            tried.add((cand_kf, cur_kf))
+            edge = self._verify_loop(
+                cand_kf, cur_kf,
+                self._images[frames[cand_kf]], self._images[cur_frame])
+            if edge is None:
+                continue
+            self.loop_edges.append(edge)
+            found = True
+            for met in reversed(self.metrics):
+                if met.get("frame") == cur_frame:
+                    met["loop"] = (cand_kf, cur_kf)
+                    break
+            log.info("loop closure %d -> %d (inliers %d)", cand_kf,
+                     cur_kf, edge.inliers)
+        if found:
+            self._pose_graph_pushback()
 
     def _verify_loop(self, cand_kf: int, cur_kf: int, old_img, new_img):
         """Verify a loop candidate and build its pose-graph edge.
