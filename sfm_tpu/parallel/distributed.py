@@ -27,7 +27,15 @@ def initialize(coordinator_address: str, num_processes: int,
                process_id: int) -> None:
     """Join this process to the global JAX runtime.
 
-    Call once per process, BEFORE any other JAX API touches the backend.
+    Call once per process, BEFORE any other JAX API touches the backend —
+    including ``import sfm_tpu`` (its import tree warms compute modules).
+    The canonical multi-host entry order is::
+
+        import jax
+        jax.distributed.initialize(...)   # or this wrapper via a
+                                          # deferred import
+        import sfm_tpu                    # everything else afterwards
+
     On real TPU pods the arguments come from the deployment environment
     (and on Cloud TPU ``jax.distributed.initialize()`` autodetects them);
     for CPU validation the test harness passes an explicit local

@@ -16,11 +16,15 @@ import numpy as np
 def main() -> int:
     coord, n_procs, pid = sys.argv[1], int(sys.argv[2]), int(sys.argv[3])
 
-    from sfm_tpu.parallel import distributed as dist
-
-    dist.initialize(coord, n_procs, pid)
-
+    # join the global runtime BEFORE any import that might touch the XLA
+    # backend (sfm_tpu's import tree warms modules; jax.distributed must
+    # come first — same ordering a real multi-host launcher uses)
     import jax
+
+    jax.distributed.initialize(
+        coordinator_address=coord, num_processes=n_procs, process_id=pid)
+
+    from sfm_tpu.parallel import distributed as dist
     import jax.numpy as jnp
     from jax import shard_map
     from jax.sharding import NamedSharding, PartitionSpec as P
@@ -93,6 +97,10 @@ def main() -> int:
             scenes, mesh=mesh,
             in_specs=(P("scene"), P("scene"), P("scene"), P("scene")),
             out_specs=(P(), P()),
+            # the jacobi-sweep scan carries an invariant V alongside the
+            # scene-varying A; relax the varying-manual-axes check the
+            # same way parallel/multiscene.py does
+            check_vma=False,
         )
     )(ke_g, xi_g, xj_g, va_g)
     total_inl = float(total_inl)
