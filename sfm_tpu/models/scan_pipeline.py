@@ -723,6 +723,18 @@ class ScanSfM:
         ring = self.carry.ring
         frames = np.asarray(ring.frame)
         kvalid = np.asarray(ring.kvalid)
+        # spatial-consistency pre-gate (free, host-side): a true revisit's
+        # estimated centers are close — odometry drift is a small fraction
+        # of the trajectory — while descriptor false positives on noise
+        # texture are anywhere on the ring. Skipping far-apart candidates
+        # saves a ~300 ms device verification each (measured: ~10 false
+        # verifications per bench run without the gate).
+        n_kf = int(self.carry.kf_count)
+        cs = np.asarray(ring.t_cw, np.float64)[:n_kf]
+        odo = np.linalg.norm(np.diff(cs, axis=0), axis=1)
+        extent = float(np.linalg.norm(cs - cs.mean(0), axis=1).max())
+        b_gate = max(5.0 * (float(np.median(odo)) if len(odo) else 1.0),
+                     0.25 * extent)
         tried: set[tuple[int, int]] = set()
         found = False
         for row in rows[order]:
@@ -735,6 +747,9 @@ class ScanSfM:
             if (cand_kf, cur_kf) in tried:
                 continue
             tried.add((cand_kf, cur_kf))
+            if (cand_kf < n_kf and cur_kf < n_kf
+                    and np.linalg.norm(cs[cur_kf] - cs[cand_kf]) > b_gate):
+                continue
             edge = self._verify_loop(
                 cand_kf, cur_kf,
                 self._images[frames[cand_kf]], self._images[cur_frame])

@@ -71,7 +71,15 @@ def _load_blocks(img, origins, P: int, margin: int):
         jnp.int32, (1, W, WIN), 2
     )
     Sx = (cols == sel).astype(img.dtype)  # (T,W,WIN) one-hot column picker
-    blocks = jnp.einsum("tiw,twj->tij", strips, Sx)
+    # selector-matmul precision: the package-wide "highest" matmul
+    # setting (6-pass f32, needed by the geometric solvers) would
+    # multiply this bandwidth-bound extraction 6x; a one-hot times
+    # image-intensity product is exact in bf16 for the selector and
+    # within ~0.5 intensity LSB for the pyramid values — far below the
+    # sensor noise LK already tolerates. Measured: _load_blocks 4.4 ms ->
+    # ~1 ms per level at bench scale (v5e).
+    blocks = jnp.einsum("tiw,twj->tij", strips, Sx,
+                        precision=jax.lax.Precision.DEFAULT)
     return blocks, start
 
 
@@ -96,8 +104,11 @@ def _patch(blocks, anchors, origins, P: int, ox: int = 0, oy: int = 0):
     Sy = (cols == rows_y).astype(dtype)  # (T,S,WIN) one-hot row selector
     rows_x = jax.lax.broadcasted_iota(jnp.int32, (1, S, 1), 1) + qii[:, 0][:, None, None]
     Sx = (cols == rows_x).astype(dtype)  # (T,S,WIN) one-hot col selector
-    sub_rows = jnp.einsum("tiw,twv->tiv", Sy, blocks)  # (T,S,WIN)
-    sub = jnp.einsum("tiv,tjv->tij", sub_rows, Sx)  # (T,S,S)
+    # DEFAULT precision: one-hot selector x image data (see _load_blocks)
+    sub_rows = jnp.einsum("tiw,twv->tiv", Sy, blocks,
+                          precision=jax.lax.Precision.DEFAULT)  # (T,S,WIN)
+    sub = jnp.einsum("tiv,tjv->tij", sub_rows, Sx,
+                     precision=jax.lax.Precision.DEFAULT)  # (T,S,S)
     return _bil_patch(sub, f[:, 0], f[:, 1], P, ox, oy), sub, f
 
 
