@@ -235,6 +235,22 @@ def _window_ba(cfg: SystemConfig, p_ba: int, Kf, ring: KeyframeRing,
         update_points=cfg.ba.update_points,
     )
     R_cw_n, t_cw_n = _cw(Rn, tn)
+
+    # --- monocular gauge retraction -----------------------------------
+    # BA with a single fixed pose leaves the global SCALE mode free
+    # (uniform scaling about the anchor camera changes no reprojection),
+    # so LM noise random-walks the scale a few percent per solve — which
+    # compounds into collapse over tens of keyframes (observed: s_map
+    # 0.92 -> 0.11 across 10 keyframes on a hard ring). A uniform
+    # rescale about the anchor is an EXACT gauge transform, so restoring
+    # the window's first baseline to its pre-solve length cancels the
+    # drift without touching the reprojection optimum.
+    C0 = ring.t_cw[gidx[0]]                 # anchor (n_fix=1: unchanged)
+    b_before = jnp.linalg.norm(ring.t_cw[gidx[1]] - C0)
+    b_after = jnp.linalg.norm(t_cw_n[1] - C0)
+    ok_fix = row_ok[1] & (b_before > 1e-9) & (b_after > 1e-9)
+    s_fix = jnp.where(ok_fix, b_before / jnp.maximum(b_after, 1e-12), 1.0)
+
     sidx = jnp.where(row_ok, w_idx, K)
     ring = ring._replace(
         R_cw=ring.R_cw.at[sidx].set(R_cw_n, mode="drop"),
@@ -242,15 +258,31 @@ def _window_ba(cfg: SystemConfig, p_ba: int, Kf, ring: KeyframeRing,
     )
     if cfg.ba.update_points:
         X = X.at[jnp.where(loc_ok, loc_pid, P_CAP)].set(Xn, mode="drop")
+    # one global similarity about C0 (poses in AND out of the window plus
+    # all points): scaling the window alone would tear it away from the
+    # older map, while the global transform is reprojection-exact
+    ring = ring._replace(t_cw=C0 + s_fix * (ring.t_cw - C0))
+    X = C0 + s_fix * (X - C0)
     cur = kf_id - w_start
-    return (ring, X, R_cw_n[cur], t_cw_n[cur],
+    return (ring, X, R_cw_n[cur], C0 + s_fix * (t_cw_n[cur] - C0),
             info["cost0"], info["cost"])
 
 
 def _keyframe_branch(cfg: SystemConfig, p_ba: int, Kf, args):
     """All keyframe-time geometry + bookkeeping, device-side (ref
-    py:951-988 add_keyframe / cpp:1765-1871 keyframe block)."""
-    carry, idx, k_edge = args
+    py:951-988 add_keyframe / cpp:1765-1871 keyframe block).
+
+    ``args`` is (carry, idx, k_edge) or (carry, idx, k_edge, rp_frame):
+    with ``rp_frame`` (this frame's two-view result from the tracking
+    prefix), the edge RANSAC is skipped via ``lax.cond`` whenever the
+    previous keyframe IS the previous frame — the snapshot then equals
+    the prefix's input and the two solves are statistically identical
+    (saves one full LO-RANSAC per keyframe on keyframe-dense runs)."""
+    if len(args) == 3:
+        carry, idx, k_edge = args
+        rp_frame = None
+    else:
+        carry, idx, k_edge, rp_frame = args
     ring = carry.ring
     K = ring.pid.shape[0]
     P_CAP = carry.X.shape[0]
@@ -269,12 +301,26 @@ def _keyframe_branch(cfg: SystemConfig, p_ba: int, Kf, args):
     R_wc_i, t_wc_i = _wc(R_cw_i, t_cw_i)
     xi = epipolar.normalize_by_K(Kf, puv)
     xj = epipolar.normalize_by_K(Kf, uv)
-    rp = epipolar.find_E_ransac(
-        k_edge, xi, xj, shared,
-        num_hypotheses=cfg.ransac.num_hypotheses,
-        sampson_thresh=cfg.ransac.sampson_thresh,
-        min_inliers=cfg.ransac.min_inliers,
-    )
+
+    def _edge_ransac(operands):
+        k_e, a, b, m = operands
+        return epipolar.find_E_ransac(
+            k_e, a, b, m,
+            num_hypotheses=cfg.ransac.num_hypotheses,
+            sampson_thresh=cfg.ransac.sampson_thresh,
+            min_inliers=cfg.ransac.min_inliers,
+        )
+
+    if rp_frame is None:
+        rp = _edge_ransac((k_edge, xi, xj, shared))
+    else:
+        reuse = (ring.frame[prev_i] == idx - 1) & rp_frame.ok
+        rp = jax.lax.cond(
+            reuse,
+            lambda op: rp_frame,
+            _edge_ransac,
+            (k_edge, xi, xj, shared),
+        )
     # chain fallback: relative pose from the composed frame-to-frame chain
     R_wj = carry.R_cw.T
     R_chain = R_wj @ R_cw_i
@@ -297,15 +343,47 @@ def _keyframe_branch(cfg: SystemConfig, p_ba: int, Kf, args):
     s_est = jnp.nan_to_num(
         jnp.nanmedian(jnp.where(good, sols, jnp.nan)), nan=1.0)
     s_map = jnp.where((jnp.sum(good) >= 5) & (s_est > 1e-6), s_est, 1.0)
+    # monocular scale-smoothness prior: adjacent keyframe baselines on a
+    # continuous trajectory change smoothly, but the median-of-ratios
+    # scale estimate can misfire when few mapped tracks survive a hard
+    # frame (observed: one 3x scale jump at ~60 shared tracks collapses
+    # the rest of the run). Clamp the propagated step length to
+    # [1/3, 3]x the previous keyframe baseline. (The reference has no
+    # guard — its --use-gt-scale option sidesteps the problem entirely,
+    # ref py:888-898.)
+    b_prev = jnp.linalg.norm(
+        ring.t_cw[prev_i] - ring.t_cw[jnp.maximum(prev_i - 1, 0)])
+    have_prev = (prev_i >= 1) & (b_prev > 1e-9)
+    s_map = jnp.clip(
+        s_map,
+        jnp.where(have_prev, b_prev / 3.0, 0.0),
+        jnp.where(have_prev, 3.0 * b_prev, jnp.inf),
+    )
 
     # --- anchored pose + PnP refinement against the map ----------------
     R_a = R_e @ R_wc_i
     t_a = R_e @ t_wc_i + s_map * t_eu
     fx = Kf[0, 0]
-    R_p, t_p, pnp_info = pnp_ops.refine_pose(
-        R_a, t_a, Xs, xj, pid_ok, iters=10,
-        huber_delta=cfg.ba.huber_delta / fx,
-    )
+    # dual-init PnP, batched via vmap (one LM scan over both starts —
+    # half the op overhead of two sequential solves):
+    #   1. the anchored pose (two-view edge + propagated scale)
+    #   2. the PREVIOUS keyframe's pose (constant-position init): for
+    #      ordinary inter-keyframe motion it is inside the convergence
+    #      basin regardless of the propagated scale, so a mis-estimated
+    #      s_map cannot poison the localization via a bad anchored init
+    #      (the classic monocular feedback collapse).
+    # Keep the better solution by inlier count, then cost.
+    R0s = jnp.stack([R_a, R_wc_i])
+    t0s = jnp.stack([t_a, t_wc_i])
+    Rs, ts, pinfos = jax.vmap(
+        lambda R0, t0: pnp_ops.refine_pose(
+            R0, t0, Xs, xj, pid_ok, iters=10,
+            huber_delta=cfg.ba.huber_delta / fx)
+    )(R0s, t0s)
+    which = jnp.argmax(
+        pinfos["inliers"].astype(f32) * 1e6 - pinfos["cost"])
+    R_p, t_p = Rs[which], ts[which]
+    pnp_info = {"inliers": pinfos["inliers"][which]}
     use_pnp = pnp_info["inliers"] >= 30
     R_f = jnp.where(use_pnp, R_p, R_a)
     t_f = jnp.where(use_pnp, t_p, t_a)
@@ -432,13 +510,13 @@ def run_chunk(cfg: SystemConfig, p_ba: int, Kf, carry: ScanCarry,
         img, idx, fval = inp
 
         def do(carry):
-            carry, make_kf, k2, y_pre = _track_and_pose(
+            carry, make_kf, k2, rp, y_pre = _track_and_pose_rp(
                 cfg, Kf, carry, img, idx)
             carry, ykf = jax.lax.cond(
                 make_kf,
                 partial(_keyframe_branch, cfg, p_ba, Kf),
-                partial(_no_kf_branch, cfg, p_ba, Kf),
-                (carry, idx, k2),
+                lambda a: _no_kf_branch(cfg, p_ba, Kf, a[:3]),
+                (carry, idx, k2, rp),
             )
             return carry, _pack_frame_metrics(carry, idx, y_pre, ykf)
 
@@ -452,13 +530,23 @@ def run_chunk(cfg: SystemConfig, p_ba: int, Kf, carry: ScanCarry,
 
 
 def _track_and_pose(cfg: SystemConfig, Kf, carry: ScanCarry, img, idx):
+    """Back-compat wrapper over ``_track_and_pose_rp`` that drops the
+    two-view result (see there)."""
+    carry, make_kf, k2, _rp, y_pre = _track_and_pose_rp(
+        cfg, Kf, carry, img, idx)
+    return carry, make_kf, k2, y_pre
+
+
+def _track_and_pose_rp(cfg: SystemConfig, Kf, carry: ScanCarry, img, idx):
     """The always-on per-frame prefix: pyramid build → KLT step →
     two-view LO-RANSAC → pose compose → keyframe policy. Shared by the
     single-scene ``run_chunk`` and the scene-batched gated runner
     (parallel/multi_scan.run_chunk_scenes_gated).
 
-    Returns (carry', make_kf, kf_key, y_pre) with y_pre = (rp_ok,
-    rp_inliers, parallax, n_matched) as f32 scalars."""
+    Returns (carry', make_kf, kf_key, rp, y_pre) with rp the frame's
+    two-view RelPose (reusable as the keyframe edge when the previous
+    keyframe is the previous frame) and y_pre = (rp_ok, rp_inliers,
+    parallax, n_matched) as f32 scalars."""
     pyr = _build_pyr(img, cfg.klt.pyr_levels)
     trk, prev_pos, matched = tracker.step(
         carry.prev_pyr, pyr, carry.trk, cfg.klt)
@@ -497,7 +585,7 @@ def _track_and_pose(cfg: SystemConfig, Kf, carry: ScanCarry, img, idx):
         slot_pid=slot_pid, fo_kf=fo_kf, key=key)
     y_pre = (rp.ok.astype(f32), rp.num_inliers.astype(f32),
              parallax.astype(f32), jnp.sum(matched).astype(f32))
-    return carry, make_kf, k2, y_pre
+    return carry, make_kf, k2, rp, y_pre
 
 
 def _pack_frame_metrics(carry: ScanCarry, idx, y_pre, ykf):

@@ -47,7 +47,7 @@ def test_synthetic_dataset_renders_and_parses(synthetic_ring):
     ds = synthetic_ring
     assert len(ds) == 12
     img = ds.load_gray(0)
-    assert img.shape == (360, 480)
+    assert img.shape == (480, 640)
     # object must occupy a good chunk of the frame with texture variance
     assert img.std() > 20
     # GT projection sanity: project the cylinder center-top into frame 0
