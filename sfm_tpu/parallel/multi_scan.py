@@ -74,8 +74,8 @@ def _run_chunk_scenes_gated(cfg: SystemConfig, p_ba: int, Kf, carry,
         img_s, idx, fval = inp
 
         def do(carry):
-            carry, make_kf, keys, y_pre = jax.vmap(
-                lambda c, im: sp._track_and_pose(cfg, Kf, c, im, idx)
+            carry, make_kf, keys, rps, y_pre = jax.vmap(
+                lambda c, im: sp._track_and_pose_rp(cfg, Kf, c, im, idx)
             )(carry, img_s)
             ykf_none = jnp.tile(jnp.concatenate([
                 jnp.zeros((1,), jnp.float32),
@@ -84,11 +84,11 @@ def _run_chunk_scenes_gated(cfg: SystemConfig, p_ba: int, Kf, carry,
             ]), (S, 1))
 
             def kf_any(args):
-                c, ks = args
+                c, ks, rp = args
                 c2, ykf2 = jax.vmap(
-                    lambda ci, ki: sp._keyframe_branch(
-                        cfg, p_ba, Kf, (ci, idx, ki))
-                )(c, ks)
+                    lambda ci, ki, rpi: sp._keyframe_branch(
+                        cfg, p_ba, Kf, (ci, idx, ki, rpi))
+                )(c, ks, rp)
 
                 def sel(n, o):
                     m = make_kf.reshape(
@@ -102,7 +102,7 @@ def _run_chunk_scenes_gated(cfg: SystemConfig, p_ba: int, Kf, carry,
                 return args[0], ykf_none
 
             carry, ykf = jax.lax.cond(
-                jnp.any(make_kf), kf_any, kf_none, (carry, keys))
+                jnp.any(make_kf), kf_any, kf_none, (carry, keys, rps))
             y = jax.vmap(sp._pack_frame_metrics,
                          in_axes=(0, None, 0, 0))(carry, idx, y_pre, ykf)
             return carry, y

@@ -14,6 +14,19 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Long single-process sessions accumulate hundreds of compiled XLA
+    CPU executables; past ~45 min the CPU compiler has been observed to
+    abort (SIGABRT inside backend_compile_and_load) on programs that
+    compile fine in a fresh process. Dropping the executable caches
+    between modules keeps the session young at a small recompile cost."""
+    yield
+    import jax
+
+    jax.clear_caches()
+
+
 @pytest.fixture()
 def rng():
     # function-scoped so every test sees the same deterministic stream
