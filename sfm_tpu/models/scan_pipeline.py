@@ -1124,12 +1124,21 @@ class ScanSfM:
         t_wc = -np.einsum("fij,fj->fi", R_wc, t_cw)
         xa = np_geom.normalize_by_K(self.K, uv[ka, sa])
         xb = np_geom.normalize_by_K(self.K, uv[kb, sb])
-        X3, za, zb = (np.asarray(v, np.float64) for v in
+        # pad to a pow2 bucket: every reconstruction has a different
+        # point count, and an unpadded shape would recompile the DLT
+        # program per run (minutes over the remote-compile tunnel)
+        Np = _next_pow2(n_pts, lo=1024)
+
+        def pad(a, eye=False):
+            out = (np.tile(np.eye(3, dtype=np.float32), (Np, 1, 1))
+                   if eye else np.zeros((Np, *a.shape[1:]), np.float32))
+            out[: len(a)] = a
+            return jnp.asarray(out)
+
+        X3, za, zb = (np.asarray(v, np.float64)[:n_pts] for v in
                       triangulate.triangulate_dlt(
-                          jnp.asarray(R_wc[ka], f32), jnp.asarray(t_wc[ka], f32),
-                          jnp.asarray(xa, f32),
-                          jnp.asarray(R_wc[kb], f32), jnp.asarray(t_wc[kb], f32),
-                          jnp.asarray(xb, f32)))
+                          pad(R_wc[ka], eye=True), pad(t_wc[ka]), pad(xa),
+                          pad(R_wc[kb], eye=True), pad(t_wc[kb]), pad(xb)))
         good = ok & (za > 1e-6) & (zb > 1e-6) & np.isfinite(X3).all(-1)
         return np.where(good[:, None], X3, X)
 
