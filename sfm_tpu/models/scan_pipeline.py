@@ -910,9 +910,31 @@ class ScanSfM:
                 odo = np.linalg.norm(np.diff(cs, axis=0), axis=1)
                 b_ref = float(np.median(odo)) if len(odo) else 1.0
                 w_tr = lw * min(1.0, b / max(b_ref, 1e-12))
+            # relative scale revealed by the closure (for
+            # pose_graph.mode="sim3"): the same physical scene seen in
+            # the OLD segment's map scale (X_old at the PnP pose) vs the
+            # CURRENT segment's map scale (points observed at cur_kf).
+            # Node convention x_w = s·R·x_c + C gives
+            # s_rel = s_i/s_j = (median depth at j in j's map) /
+            #                   (median depth at j in i's map).
+            s_rel = 1.0
+            d_i = (X_old[m_old] @ R_wc_j.T + t_wc_j)[:, 2]
+            d_i = d_i[d_i > 1e-9]
+            pid_j = np.asarray(ring.pid[cur_kf])
+            m_j = np.asarray(ring.tvalid[cur_kf]) & (pid_j >= 0)
+            if int(m_j.sum()) >= 20 and len(d_i) >= 20:
+                X_j = np.asarray(self.carry.X)[
+                    np.clip(pid_j, 0, self.p_cap - 1)][m_j]
+                R_cw_j = np.asarray(ring.R_cw[cur_kf], np.float64)
+                C_j = np.asarray(ring.t_cw[cur_kf], np.float64)
+                # camera-frame depth: x_cam = R_cwᵀ(X − C)
+                d_j = ((X_j - C_j) @ R_cw_j)[:, 2]
+                d_j = d_j[d_j > 1e-9]
+                if len(d_j) >= 20:
+                    s_rel = float(np.median(d_j) / np.median(d_i))
             return Edge(i=cand_kf, j=cur_kf, R_ji=R_ji, t_ji=t_ji,
                         inliers=inliers, is_loop=True,
-                        w_rot=lw, w_trans=w_tr)
+                        w_rot=lw, w_trans=w_tr, s_rel=s_rel)
         # ---- fallback: reference-style E-RANSAC verification ----------
         rp, n_tracked = self._verify_pair(old_img, new_img)
         if rp is None:

@@ -121,6 +121,9 @@ def test_scan_loop_closure_and_pose_graph(out_and_back_ds):
         gi = ds.records[s.kfs[e.i].frame_idx].center
         gj = ds.records[s.kfs[e.j].frame_idx].center
         assert np.linalg.norm(gi - gj) < 0.15
+        # the PnP closure's revealed relative scale must be ~1 on a
+        # low-drift run (consumed by pose_graph.mode="sim3")
+        assert 0.6 < e.s_rel < 1.6, e.s_rel
     # trajectory quality after pose graph + re-triangulation + global BA
     import jax.numpy as jnp
 
