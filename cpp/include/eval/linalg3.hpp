@@ -141,7 +141,19 @@ inline void svd3(const Mat3& A, Mat3& U, double s[3], Mat3& V) {
     u[1] = u[0].cross(h);
   }
   u[1] = u[1].unit();
+  // Complete U with the cross product, then orient it to match A v2 so
+  // that U diag(s) V^T = A for full-rank A (without this sign check the
+  // reconstruction is off by a reflection whenever A v2 is anti-parallel
+  // to u0 x u1, which makes the Umeyama rotation grossly suboptimal).
+  // Keep the right-handed completion when s2 ~ 0 (rank-2 input); mirrors
+  // the batched JAX twin in sfm_tpu/ops/linalg.py (svd3_jacobi).
   u[2] = u[0].cross(u[1]);
+  {
+    Vec3 v2{V.m[0][2], V.m[1][2], V.m[2][2]};
+    Vec3 av2 = A * v2;
+    double d2 = u[2].dot(av2);
+    if (std::fabs(d2) > 1e-9 && d2 < 0) u[2] = u[2] * -1.0;
+  }
   for (int c = 0; c < 3; ++c) {
     U.m[0][c] = u[c].x;
     U.m[1][c] = u[c].y;

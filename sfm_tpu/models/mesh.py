@@ -139,11 +139,16 @@ def _sgm_scan(vol_nhd, P1: float, P2: float):
 
 def _sgm_aggregate(vol, P1: float, P2: float):
     """4-direction (left/right/up/down) semi-global sum over a (D,H,W)
-    cost volume. Wrapped-region sentinels are held out of the recurrence
-    (their huge costs would poison neighboring paths) and re-imposed on
-    the aggregated result."""
+    cost volume. Wrapped-region sentinel lanes keep their huge cost
+    through the recurrence: L for an invalid lane stays ~_COST_INVALID
+    (C dominates, and cand-m is bounded by the valid lanes' spread), so
+    it never wins any min reduction — neither the normalizing m nor the
+    d±1/P2 candidates of neighboring valid lanes. (Zeroing them instead
+    makes the artificial 0 the per-pixel MINIMUM, capping every valid
+    lane's aggregated cost near the border — the opposite of holding
+    them out.) The sentinel is re-imposed exactly on the output."""
     invalid = vol >= _COST_INVALID
-    v = jnp.where(invalid, 0.0, vol)
+    v = vol
     whd = v.transpose(2, 1, 0)  # (W,H,D)
     agg = _sgm_scan(whd, P1, P2)  # left -> right
     agg = agg + _sgm_scan(whd[::-1], P1, P2)[::-1]  # right -> left

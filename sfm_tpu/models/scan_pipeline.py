@@ -1175,7 +1175,7 @@ class ScanSfM:
         kk, ss = np.nonzero(ok)
         m = len(kk)
         if m < 30:
-            return R_cw, t_cw, X
+            return X
         F = _next_pow2(n_kf, lo=8)
         P = _next_pow2(n_pts, lo=1024)
         M = _next_pow2(m, lo=4096)

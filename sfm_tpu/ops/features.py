@@ -27,7 +27,16 @@ from sfm_tpu.ops import image as im
 def _use_pallas() -> bool:
     """The fused Pallas corner kernel is the default on the TPU backend —
     measured 1.3-1.9x faster than the XLA twin on a v5e chip
-    (tools/bench_pallas.py); the XLA path serves CPU/interpret."""
+    (tools/bench_pallas.py); the XLA path serves CPU/interpret.
+
+    SFM_TPU_PALLAS overrides the backend default in both directions:
+    "0" forces the XLA path (the kill-switch if the kernel misbehaves on
+    a new TPU generation/toolchain), "1" forces the Pallas path."""
+    import os
+
+    env = os.environ.get("SFM_TPU_PALLAS", "").strip()
+    if env in ("0", "1"):
+        return env == "1"
     try:
         return jax.default_backend() == "tpu"
     except Exception:  # backend init failure -> safe fallback

@@ -64,10 +64,14 @@ def so3_log(R):
     tr = R[..., 0, 0] + R[..., 1, 1] + R[..., 2, 2]
     # clip strictly inside (-1, 1): arccos' gradient is -1/sqrt(1-x^2),
     # which is NaN at exactly +-1 (e.g. jacfwd of a pose graph whose
-    # residual rotation is exactly identity). The eps-clip zeroes the
-    # boundary derivative instead; the value error (~1.5e-6 rad) is far
-    # below the Taylor-branch threshold so results are unchanged.
-    cos_t = jnp.clip((tr - 1.0) * 0.5, -1.0 + 1e-12, 1.0 - 1e-12)
+    # residual rotation is exactly identity). The margin must scale with
+    # the dtype's eps — a fixed 1e-12 rounds to exactly 1.0 in f32
+    # (eps ~ 1.2e-7) and the guard becomes a no-op. With 10*eps the
+    # boundary gradient is finite in both precisions; the induced value
+    # error in w is O(theta_clip^2/12 * |v|) ~ 2e-7 relative in f32,
+    # far below tracking noise, and ~4e-15 in f64.
+    margin = 10.0 * jnp.finfo(dtype).eps
+    cos_t = jnp.clip((tr - 1.0) * 0.5, -1.0 + margin, 1.0 - margin)
     theta = jnp.arccos(cos_t)
     sin_t = jnp.sin(theta)
 

@@ -29,7 +29,7 @@ def save_checkpoint(system, path: str | Path) -> None:
         ],
         "edge_meta": [
             dict(i=e.i, j=e.j, inliers=e.inliers, is_loop=e.is_loop,
-                 w_rot=e.w_rot, w_trans=e.w_trans)
+                 w_rot=e.w_rot, w_trans=e.w_trans, s_rel=e.s_rel)
             for e in system.edges
         ],
         "first_obs_tid": [int(t) for t in system.first_obs],
@@ -124,7 +124,8 @@ def load_checkpoint(system, path: str | Path) -> None:
         system.edges.append(
             Edge(i=em["i"], j=em["j"], R_ji=z["edge_R"][k], t_ji=z["edge_t"][k],
                  inliers=em["inliers"], is_loop=em["is_loop"],
-                 w_rot=em["w_rot"], w_trans=em["w_trans"])
+                 w_rot=em["w_rot"], w_trans=em["w_trans"],
+                 s_rel=em.get("s_rel", 1.0))
         )
     m = system.map
     pts = np.asarray(z["points"], np.float64).reshape(-1, 3)
@@ -193,8 +194,8 @@ def save_scan_checkpoint(scan, path: str | Path) -> None:
         "metrics": scan.metrics,
         "pg_ran": scan._pg_ran,
         "loop_edges": [
-            dict(i=e.i, j=e.j, inliers=e.inliers,
-                 w_rot=e.w_rot, w_trans=e.w_trans)
+            dict(i=e.i, j=e.j, inliers=e.inliers, is_loop=e.is_loop,
+                 w_rot=e.w_rot, w_trans=e.w_trans, s_rel=e.s_rel)
             for e in scan.loop_edges
         ],
     }
@@ -248,5 +249,6 @@ def load_scan_checkpoint(scan, path: str | Path) -> None:
         for k, em in enumerate(meta["loop_edges"]):
             scan.loop_edges.append(Edge(
                 i=em["i"], j=em["j"], R_ji=lz["R"][k], t_ji=lz["t"][k],
-                inliers=em["inliers"], is_loop=True,
-                w_rot=em["w_rot"], w_trans=em["w_trans"]))
+                inliers=em["inliers"], is_loop=em.get("is_loop", True),
+                w_rot=em["w_rot"], w_trans=em["w_trans"],
+                s_rel=em.get("s_rel", 1.0)))

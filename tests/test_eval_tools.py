@@ -20,14 +20,15 @@ BUILD = REPO / "cpp" / "build"
 def tools():
     if not shutil.which("cmake"):
         pytest.skip("cmake unavailable")
-    if not (BUILD / "ate_keyframes").exists():
-        subprocess.run(
-            ["cmake", "-S", str(REPO / "cpp"), "-B", str(BUILD),
-             "-DCMAKE_BUILD_TYPE=Release"],
-            check=True, capture_output=True,
-        )
-        subprocess.run(["cmake", "--build", str(BUILD)], check=True,
-                       capture_output=True)
+    subprocess.run(
+        ["cmake", "-S", str(REPO / "cpp"), "-B", str(BUILD),
+         "-DCMAKE_BUILD_TYPE=Release"],
+        check=True, capture_output=True,
+    )
+    # always build — incremental no-op when sources are unchanged, and it
+    # guarantees header edits (e.g. eval/linalg3.hpp) reach the binaries
+    subprocess.run(["cmake", "--build", str(BUILD)], check=True,
+                   capture_output=True)
     return BUILD
 
 
@@ -126,6 +127,133 @@ def test_gt_keyframe_edge_zero_error_for_exact_edges(tools, artifacts_dir):
     tr = parse_val(out, "translation direction error (deg)")
     assert rot < 1e-6
     assert tr < 1e-4
+
+
+def _numpy_umeyama_rmse(src, dst, with_scale):
+    """Mathematical optimum: textbook Umeyama (1991) via LAPACK SVD in f64.
+    The yardstick the binaries are tested against — independent of both the
+    C++ `ev::svd3` and the JAX `svd3_jacobi` implementations."""
+    src = np.asarray(src, np.float64)
+    dst = np.asarray(dst, np.float64)
+    mu_s, mu_d = src.mean(0), dst.mean(0)
+    a, b = dst - mu_d, src - mu_s
+    cov = a.T @ b / len(src)
+    U, S, Vt = np.linalg.svd(cov)
+    d = np.ones(3)
+    if np.linalg.det(U) * np.linalg.det(Vt) < 0:
+        d[2] = -1.0
+    R = U @ np.diag(d) @ Vt
+    var = (b ** 2).sum() / len(src)
+    s = float((S * d).sum() / var) if with_scale else 1.0
+    t = mu_d - s * R @ mu_s
+    resid = dst - (s * (R @ src.T).T + t)
+    return float(np.sqrt((resid ** 2).sum(1).mean()))
+
+
+def _write_problem(d, gt, est):
+    n = len(gt)
+    K = np.array([[800.0, 0, 320], [0, 800.0, 240], [0, 0, 1]])
+    par = [str(n)]
+    for i, C in enumerate(gt):
+        R = np.asarray(lie.so3_exp(jnp.asarray([0.1 * i, -0.2, 0.05 * i])))
+        t = -R @ C
+        vals = np.concatenate([K.ravel(), R.ravel(), t])
+        par.append(f"img{i:04d}.png " + " ".join(f"{x:.17g}" for x in vals))
+    (d / "par.txt").write_text("\n".join(par) + "\n")
+    rows = [
+        dict(kf_id=i, frame_idx=i, image=f"img{i:04d}.png",
+             x=e[0], y=e[1], z=e[2], lat=0.0, lon=0.0)
+        for i, e in enumerate(est)
+    ]
+    artifacts.write_csv_centers(d / "kf.csv", rows)
+
+
+@pytest.fixture(scope="module")
+def reference_binary(tmp_path_factory):
+    """Compile the reference's own ate_keyframes (read-only source) so the
+    sweep can cross-check against it where it is itself optimal."""
+    src = Path("/root/reference/cpp/tools/ate_keyframes.cpp")
+    inc = Path("/root/reference/cpp/include")
+    if not src.exists() or not shutil.which("g++"):
+        pytest.skip("reference source or g++ unavailable")
+    out = tmp_path_factory.mktemp("refbin") / "ate_keyframes_ref"
+    res = subprocess.run(
+        ["g++", "-O2", "-std=c++17", str(src), "-I", str(inc), "-o", str(out)],
+        capture_output=True, text=True)
+    if res.returncode != 0:
+        pytest.skip(f"reference tool failed to compile: {res.stderr[:200]}")
+    return out
+
+
+def test_ate_keyframes_random_sweep(tools, reference_binary, tmp_path):
+    """50 random Sim(3)/SE(3) alignment problems: our binary must match the
+    LAPACK-SVD Umeyama optimum (regression for the svd3 U-sign bug, where
+    u2 = u0 x u1 could be anti-parallel to A v2 and the recovered rotation
+    was off by a reflection on ~1/3 of random alignments).
+
+    Also cross-checks the reference binary (the behavioural spec,
+    /root/reference/cpp/tools/ate_keyframes.cpp:334-389): where IT attains
+    the optimum we must agree with it; where it does not (its svd3 has the
+    same missing sign fix) we document the divergence rather than copy the
+    bug — our result must never be worse than the reference's."""
+    rng = np.random.default_rng(7)
+    n = 10
+    ref_suboptimal = 0
+    for trial in range(50):
+        with_scale = trial % 2 == 0
+        gt = rng.standard_normal((n, 3)) * 2.0
+        axis = rng.standard_normal(3)
+        axis /= np.linalg.norm(axis)
+        ang = rng.uniform(0.0, np.pi)
+        Rg = np.asarray(lie.so3_exp(jnp.asarray(axis * ang)))
+        s = rng.uniform(0.3, 3.0) if with_scale else 1.0
+        tg = rng.standard_normal(3) * 3.0
+        est = (s * (Rg @ gt.T).T + tg) + rng.standard_normal((n, 3)) * 1e-2
+
+        d = tmp_path / f"case{trial:02d}"
+        d.mkdir()
+        _write_problem(d, gt, est)
+        mode = "--sim3" if with_scale else "--se3"
+        args = ["--par", d / "par.txt", "--keyframes", d / "kf.csv",
+                "--start", 0, "--count", n, mode]
+        rmse_ours = parse_val(run(tools / "ate_keyframes", *args), "ATE_RMSE")
+        rmse_ref = parse_val(run(reference_binary, *args), "ATE_RMSE")
+        opt = _numpy_umeyama_rmse(est, gt, with_scale)
+
+        # (a) we attain the mathematical optimum (%g print precision)
+        np.testing.assert_allclose(rmse_ours, opt, rtol=5e-5, atol=1e-9,
+                                   err_msg=f"trial {trial} mode={mode}")
+        # (b) never worse than the reference binary; agree where it is optimal
+        assert rmse_ours <= rmse_ref * (1 + 5e-5) + 1e-9, (
+            f"trial {trial}: ours {rmse_ours} worse than reference {rmse_ref}")
+        if abs(rmse_ref - opt) <= 5e-5 * opt + 1e-9:
+            np.testing.assert_allclose(rmse_ours, rmse_ref, rtol=5e-5,
+                                       atol=1e-9)
+        else:
+            ref_suboptimal += 1
+    # The reference's own svd3 lacks the U-sign fix; on a fair random sweep
+    # it is measurably suboptimal on a nonzero fraction of cases. If this
+    # starts failing because ref_suboptimal == 0, the pinned reference
+    # changed — loosen to >= 0 and drop the doc note in PARITY.md.
+    assert ref_suboptimal > 0
+
+
+def test_ate_two_frames_random_pairs(tools, tmp_path):
+    """Two-point Sim(3) alignment is exact for any pair orientation — sweep
+    random geometries through ate_two_frames (shares ev::umeyama/svd3)."""
+    rng = np.random.default_rng(11)
+    for trial in range(20):
+        gt = rng.standard_normal((6, 3)) * 2.0
+        axis = rng.standard_normal(3)
+        axis /= np.linalg.norm(axis)
+        Rg = np.asarray(lie.so3_exp(jnp.asarray(axis * rng.uniform(0, np.pi))))
+        est = 1.4 * (Rg @ gt.T).T + rng.standard_normal(3)
+        d = tmp_path / f"pair{trial:02d}"
+        d.mkdir()
+        _write_problem(d, gt, est)
+        out = run(tools / "ate_two_frames", "--par", d / "par.txt",
+                  "--keyframes", d / "kf.csv", "--i", 0, "--j", 4, "--sim3")
+        assert parse_val(out, "ATE_RMSE") < 1e-9
 
 
 def test_gt_keyframe_edge_emit_csv(tools, artifacts_dir):

@@ -146,3 +146,32 @@ def test_observation_backfill(scan_result):
         seen = row[row >= 0]
         np.add.at(n_obs, seen, 1)
     assert (n_obs[: len(s._X)] >= 2).mean() > 0.9
+
+
+def test_refine_structure_degenerate_returns_points_only(synthetic_ring):
+    """Regression: with <30 observations _refine_structure must return X
+    alone (finalize binds the result to X; a 3-tuple there poisoned
+    self._X and crashed export/write_ply_xyz on degenerate runs)."""
+    from sfm_tpu.models.scan_pipeline import ScanSfM
+
+    ds = synthetic_ring
+    s = ScanSfM(ds.K, _small_cfg(), n_frames=4, chunk=4, p_cap=256, p_ba=64)
+    n_kf, T, n_pts = 3, 16, 12
+    rng = np.random.default_rng(0)
+    R_cw = np.tile(np.eye(3), (n_kf, 1, 1))
+    t_cw = rng.standard_normal((n_kf, 3)) * 0.1
+    pid = np.full((n_kf, T), -1, np.int32)
+    tvalid = np.zeros((n_kf, T), bool)
+    # 20 valid observations total (< 30) over >= 10 points
+    for k in range(n_kf):
+        for j in range(7):
+            pid[k, j] = (k * 7 + j) % n_pts
+            tvalid[k, j] = True
+    assert (tvalid & (pid >= 0)).sum() < 30
+    uv = rng.uniform(100, 300, (n_kf, T, 2))
+    X = rng.standard_normal((n_pts, 3)) + np.array([0, 0, 5.0])
+    out = s._refine_structure(R_cw, t_cw, pid, uv, tvalid, X)
+    # exactly the caller's binding: out must be the (n_pts, 3) point array
+    out = np.asarray(out)
+    assert out.shape == (n_pts, 3)
+    np.testing.assert_array_equal(out, X)
