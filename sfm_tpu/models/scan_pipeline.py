@@ -716,7 +716,11 @@ class ScanSfM:
         self.carry: ScanCarry | None = None
         self.metrics: list[dict] = []
         self.loop_edges: list[Edge] = []
-        self._images: list[np.ndarray] = []  # for loop-closure verify
+        # keyframe images only (frame_idx -> u8 gray), for loop-closure
+        # verification — retaining every input frame made host memory grow
+        # without bound on long runs while only keyframe images are ever
+        # read (_check_loops indexes by keyframe frame)
+        self._images: dict[int, np.ndarray] = {}
         self._names: list[str] = []
         self._pending: list[tuple[int, str, np.ndarray]] = []
         self.kfs: list[Keyframe] = []
@@ -727,9 +731,9 @@ class ScanSfM:
     # -- streaming interface -------------------------------------------
     def process(self, frame_idx: int, img_name: str,
                 gray_u8: np.ndarray) -> None:
-        self._images.append(np.asarray(gray_u8))
         self._names.append(img_name)
         if self.carry is None:
+            self._images[int(frame_idx)] = np.asarray(gray_u8)
             key = jax.random.PRNGKey(self.cfg.ransac.seed)
             self.carry = bootstrap_carry(
                 self.cfg, self.kf_cap, self.p_cap,
@@ -755,6 +759,7 @@ class ScanSfM:
             idxs[k] = idx
             fvalid[k] = True
         names = {idx: name for idx, name, _ in self._pending}
+        pend_imgs = {idx: g for idx, _, g in self._pending}
         self._pending = []
         self.carry, ys = run_chunk(
             self.cfg, self.p_ba, self._Kj, self.carry,
@@ -778,6 +783,8 @@ class ScanSfM:
                 met["loop_cand"] = int(row[Y_LOOP_K])
                 met["ba_cost0"] = float(row[Y_BA0])
                 met["ba_cost"] = float(row[Y_BA1])
+                if fi in pend_imgs:  # keep keyframe images only
+                    self._images[fi] = np.asarray(pend_imgs[fi])
             self.metrics.append(met)
             log.info(
                 "frame %d | kf=%s | inliers=%d | parallax=%.2f | "
@@ -838,9 +845,11 @@ class ScanSfM:
             if (cand_kf < n_kf and cur_kf < n_kf
                     and np.linalg.norm(cs[cur_kf] - cs[cand_kf]) > b_gate):
                 continue
-            edge = self._verify_loop(
-                cand_kf, cur_kf,
-                self._images[frames[cand_kf]], self._images[cur_frame])
+            old_img = self._images.get(int(frames[cand_kf]))
+            new_img = self._images.get(cur_frame)
+            if old_img is None or new_img is None:
+                continue  # image not retained (non-keyframe or pre-resume)
+            edge = self._verify_loop(cand_kf, cur_kf, old_img, new_img)
             if edge is None:
                 continue
             self.loop_edges.append(edge)

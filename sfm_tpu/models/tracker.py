@@ -50,12 +50,23 @@ def _replenish(state: TrackerState, img, cfg: KLTConfig) -> TrackerState:
         quality=cfg.quality,
         block_radius=max(int(cfg.block_size) // 2, 1),
     )
-    free_idx = jnp.nonzero(~state.valid, size=T, fill_value=T)[0]  # (T,)
-    n_free = jnp.sum(~state.valid)
+    # All-i32 free-slot compaction. Under the package-wide x64 mode,
+    # jnp.nonzero/sum(bool)/arange default to int64, which TPU emulates as
+    # u32 pairs — the nonzero-internal i64 cumsum compiles to a
+    # (u32,u32)-pair reduce-window that blows the 16M scoped-vmem limit
+    # (observed: 19.10M on the host pipeline's first replenish).
+    iota = jnp.arange(T, dtype=jnp.int32)
+    free = ~state.valid
+    rank = jnp.cumsum(free.astype(jnp.int32), dtype=jnp.int32) - 1
+    # free_idx[k] = slot index of the k-th free slot (T where none)
+    free_idx = jnp.full((T,), T, jnp.int32).at[
+        jnp.where(free, rank, T)].set(iota, mode="drop")
+    n_free = jnp.sum(free, dtype=jnp.int32)
     # k-th new detection goes to k-th free slot; only while both exist
-    take = new_valid & (jnp.arange(T) < n_free)
+    take = new_valid & (iota < n_free)
     slot = jnp.where(take, free_idx, T)  # out-of-range writes are dropped
-    new_ids = state.next_id + jnp.cumsum(take.astype(jnp.int32)) - 1
+    new_ids = state.next_id + jnp.cumsum(
+        take.astype(jnp.int32), dtype=jnp.int32) - 1
     pos = state.pos.at[slot].set(xy, mode="drop")
     valid = state.valid.at[slot].set(True, mode="drop")
     ids = state.ids.at[slot].set(jnp.where(take, new_ids, -1), mode="drop")

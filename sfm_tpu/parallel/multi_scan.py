@@ -117,11 +117,41 @@ def _run_chunk_scenes_gated(cfg: SystemConfig, p_ba: int, Kf, carry,
     return carry, jnp.swapaxes(ys, 0, 1)  # (S,C,NY)
 
 
+def _scene_view(datasets, images, cfg, s, n, chunk, p_cap, p_ba):
+    """A per-scene ScanSfM shell that borrows the single-scene host-side
+    machinery (loop verification, pose-graph pushback, finalize, export)
+    for scene ``s`` of the vmapped carry. Its ``.carry`` is refreshed from
+    the batched carry before each use and the (tiny) pose fields written
+    back after a pushback."""
+    v = sp.ScanSfM(datasets[s].K, cfg, n_frames=n, chunk=chunk,
+                   p_cap=p_cap, p_ba=p_ba)
+    v._names = [datasets[s].records[i].img for i in range(n)]
+    v._images[0] = np.asarray(images[s][0])  # bootstrap keyframe
+    return v
+
+
+def _writeback_scene_poses(carry, s, vc):
+    """Push a scene view's pose-graph-corrected poses back into the
+    batched carry (only the fields _pose_graph_pushback touches)."""
+    return carry._replace(
+        R_cw=carry.R_cw.at[s].set(vc.R_cw),
+        t_cw=carry.t_cw.at[s].set(vc.t_cw),
+        ring=carry.ring._replace(
+            R_cw=carry.ring.R_cw.at[s].set(vc.ring.R_cw),
+            t_cw=carry.ring.t_cw.at[s].set(vc.ring.t_cw),
+        ),
+    )
+
+
 def run_scenes_scan(datasets, cfg: SystemConfig, frames: int | None = None,
                     chunk: int = 16, p_cap: int = 16384, p_ba: int = 1024,
                     seed: int = 0, images=None, mesh=None,
-                    gated: bool = True):
-    """Reconstruct N scenes in lockstep with full per-scene mapping + BA.
+                    gated: bool = True, out_dirs=None):
+    """Reconstruct N scenes in lockstep with full per-scene mapping + BA,
+    loop closure, pose graph, and finalize/export — the same work as a
+    single-scene ``ScanSfM`` run (ref cpp/src/templering_sfm.cpp:1822-1866
+    fires loop checks every keyframe; here, as in the single-scene scan
+    pipeline, they fire per chunk, per scene).
 
     ``datasets``: list of TempleRing handles with identical K/shape.
     ``images``: optional preloaded grays, ``images[s][i]`` (keeps file IO
@@ -129,7 +159,12 @@ def run_scenes_scan(datasets, cfg: SystemConfig, frames: int | None = None,
     with a ``scene`` axis — the carry and image batch are placed with
     ``NamedSharding(P('scene'))`` and XLA partitions the (embarrassingly
     scene-parallel) program across devices; S must divide the axis size.
-    Returns dict with per-scene keyframe centers, counts, and metrics.
+    ``out_dirs``: optional per-scene output directories — when given,
+    each scene's artifacts (centers CSV, edges CSV, PLY) are exported.
+    Returns dict with per-scene keyframe centers, counts, loop edges,
+    points, and metrics. Centers/frames are the post-pose-graph,
+    post-finalize keyframe values (identical semantics to single-scene
+    ``ScanSfM.kfs``).
     """
     S = len(datasets)
     n = frames or min(len(d) for d in datasets)
@@ -144,6 +179,9 @@ def run_scenes_scan(datasets, cfg: SystemConfig, frames: int | None = None,
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         shard = NamedSharding(mesh, P("scene"))
+
+    views = [_scene_view(datasets, images, cfg, s, n, chunk, p_cap, p_ba)
+             for s in range(S)]
 
     imgs0 = jnp.stack([jnp.asarray(images[s][0]) for s in range(S)])
     carry = _bootstrap_scenes(cfg, kf_cap, p_cap, imgs0,
@@ -168,18 +206,47 @@ def run_scenes_scan(datasets, cfg: SystemConfig, frames: int | None = None,
         carry, ys = run(
             cfg, p_ba, Kf, carry, imgs_j, jnp.asarray(idxs),
             jnp.asarray(fvalid))
-        ys_all.append(np.asarray(ys))  # (S,C,NY)
+        ys_c = np.asarray(ys)  # (S,C,NY) — the chunk's single bulk pull
+        ys_all.append(ys_c)
+
+        # per-scene host-side work, gated on the (already pulled) metrics
+        # so scenes without candidates cost zero extra device traffic
+        for s in range(S):
+            v = views[s]
+            rows = ys_c[s]
+            kf_rows = rows[(rows[:, sp.Y_VALID] > 0.5)
+                           & (rows[:, sp.Y_KF] > 0.5)]
+            for fi in kf_rows[:, sp.Y_FRAME].astype(int):
+                v._images[int(fi)] = images[s][int(fi)]
+            if not cfg.loop.enabled:
+                continue
+            if not (kf_rows[:, sp.Y_LOOP_S] > cfg.loop.score_thresh).any():
+                continue
+            v.carry = jax.tree.map(lambda a: a[s], carry)
+            n0 = len(v.loop_edges)
+            v._check_loops(rows)
+            if len(v.loop_edges) > n0:
+                carry = _writeback_scene_poses(carry, s, v.carry)
     ys = np.concatenate(ys_all, axis=1)
 
-    n_kf = np.asarray(carry.kf_count)
-    ring_t = np.asarray(carry.ring.t_cw, np.float64)
-    ring_f = np.asarray(carry.ring.frame)
-    centers = [ring_t[s, : n_kf[s]] for s in range(S)]
-    kf_frames = [ring_f[s, : n_kf[s]] for s in range(S)]
+    # per-scene finalize (drain + retriangulate + structure-only refine)
+    # and optional export — the multiscene path now does the same closing
+    # work as a single-scene run
+    for s in range(S):
+        v = views[s]
+        v.carry = jax.tree.map(lambda a: a[s], carry)
+        v.finalize()
+        if out_dirs is not None:
+            v.export(out_dirs[s], dataset=datasets[s])
+
     return {
-        "centers": centers,
-        "kf_frames": kf_frames,
-        "n_keyframes": n_kf,
+        "centers": [np.stack([kf.center for kf in v.kfs])
+                    if v.kfs else np.zeros((0, 3)) for v in views],
+        "kf_frames": [np.asarray([kf.frame_idx for kf in v.kfs])
+                      for v in views],
+        "n_keyframes": np.asarray([len(v.kfs) for v in views]),
         "n_points": np.asarray(carry.n_pts),
+        "loop_edges": [list(v.loop_edges) for v in views],
+        "views": views,
         "metrics": ys,
     }

@@ -176,8 +176,12 @@ def save_scan_checkpoint(scan, path: str | Path) -> None:
         "slot_pid": np.asarray(c.slot_pid), "fo_kf": np.asarray(c.fo_kf),
         "fo_uv": np.asarray(c.fo_uv), "X": np.asarray(c.X),
         "key": np.asarray(c.key),
-        "images": np.stack(scan._images).astype(np.uint8),
     }
+    if scan._images:  # keyframe-only image store (frame_idx -> u8 gray)
+        kf_frames = sorted(scan._images)
+        arrays["images"] = np.stack(
+            [scan._images[f] for f in kf_frames]).astype(np.uint8)
+        arrays["image_frames"] = np.asarray(kf_frames, np.int64)
     for f in c.trk._fields:
         arrays[f"trk_{f}"] = np.asarray(getattr(c.trk, f))
     for f in c.ring._fields:
@@ -239,7 +243,10 @@ def load_scan_checkpoint(scan, path: str | Path) -> None:
         n_pts=jnp.asarray(meta["n_pts"], jnp.int32),
         key=jnp.asarray(z["key"]),
     )
-    scan._images = [im for im in z["images"]]
+    scan._images = {}
+    if "images" in z:
+        for f, im in zip(z["image_frames"], z["images"]):
+            scan._images[int(f)] = im
     scan._names = list(meta["names"])
     scan.metrics = list(meta["metrics"])
     scan._pg_ran = bool(meta.get("pg_ran", False))

@@ -1,14 +1,39 @@
 """Test configuration: run everything on a virtual 8-device CPU mesh so
-multi-chip sharding paths are exercised without TPU hardware."""
+multi-chip sharding paths are exercised without TPU hardware.
+
+Env-var forcing alone is NOT sufficient in this container: sitecustomize
+preloads the axon TPU plugin at *interpreter start* based on
+PALLAS_AXON_POOL_IPS, so by conftest time jax is already imported with
+platforms=axon and ``os.environ['JAX_PLATFORMS']='cpu'`` is ignored — a
+pytest invocation from an unscrubbed shell silently lands whole test
+modules on the TPU backend (observed: vmem OOMs in tests that pass on
+CPU). ``jax.config.update('jax_platforms', 'cpu')`` IS authoritative even
+after the plugin preload (backend init is lazy), so we force it here and
+hard-fail the session if the backend still isn't CPU."""
 
 import os
 
+# keep env coherent for any subprocesses tests spawn, and make the
+# virtual 8-device mesh available (XLA_FLAGS is read at lazy backend init)
 os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+assert jax.default_backend() == "cpu", (
+    f"tests must run on CPU, got backend={jax.default_backend()!r}; "
+    "the axon plugin preload could not be overridden — run with "
+    "PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu python -m pytest ..."
+)
+assert len(jax.devices()) >= 8, (
+    "virtual 8-device CPU mesh unavailable (XLA_FLAGS was applied too "
+    "late — a jax computation ran before conftest import?)"
+)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

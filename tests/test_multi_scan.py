@@ -91,3 +91,67 @@ def test_multi_scene_scan_sharded(four_rings):
         r = umeyama.ate(jnp.asarray(est), jnp.asarray(gt), with_scale=True)
         extent = float(np.linalg.norm(gt - gt.mean(0), axis=1).max())
         assert float(r["rmse"]) / extent < 0.08, f"scene {s}"
+
+
+@pytest.fixture(scope="module")
+def two_out_and_back(tmp_path_factory):
+    from sfm_tpu.utils.dataset import TempleRing
+    from sfm_tpu.utils.synthetic import SyntheticRingSpec, generate_dataset
+
+    lons = tuple(list(np.arange(0, 60, 5.0)) + list(np.arange(55, -1, -5.0)))
+    dss = []
+    for s in range(2):
+        out = tmp_path_factory.mktemp(f"ms_oab{s}")
+        spec = SyntheticRingSpec(
+            n_frames=len(lons), width=480, height=360, fx=1100.0, fy=1100.0,
+            path_lons_deg=lons, seed=7 + s,
+        )
+        generate_dataset(out, spec)
+        dss.append(TempleRing.from_dir(out))
+    return dss
+
+
+def test_multi_scene_loop_closure_and_export(two_out_and_back, tmp_path):
+    """VERDICT r2 #4: the multi-scene path must do the same work as the
+    single-scene scan — per-scene loop verification, pose-graph pushback
+    into the batched carry, finalize, and artifact export."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from sfm_tpu.config import LoopConfig, PoseGraphConfig
+    from sfm_tpu.ops import umeyama
+    from sfm_tpu.parallel.multi_scan import run_scenes_scan
+
+    dss = two_out_and_back
+    n = len(dss[0].records)
+    cfg = dataclasses.replace(
+        _small_cfg(),
+        frames=n,
+        loop=LoopConfig(enabled=True, min_kf_gap=8, score_thresh=0.94,
+                        min_tracked=120, ransac_iters=1024,
+                        ransac_thresh=2e-5, min_inliers=80),
+        pose_graph=PoseGraphConfig(mode="se3", iters=10),
+    )
+    out_dirs = [tmp_path / f"scene{s}" for s in range(2)]
+    res = run_scenes_scan(dss, cfg, frames=n, chunk=8, p_cap=4096,
+                          p_ba=256, out_dirs=out_dirs)
+    for s, ds in enumerate(dss):
+        loops = res["loop_edges"][s]
+        assert len(loops) >= 1, f"scene {s}: revisit must close a loop"
+        v = res["views"][s]
+        for e in loops:
+            assert e.j - e.i >= 8
+            gi = ds.records[v.kfs[e.i].frame_idx].center
+            gj = ds.records[v.kfs[e.j].frame_idx].center
+            assert np.linalg.norm(gi - gj) < 0.15
+        # artifacts exported per scene, with loop rows in the edge CSV
+        edges_csv = (out_dirs[s] / "posegraph_edges.csv").read_text()
+        assert "loop" in edges_csv
+        assert (out_dirs[s] / "keyframes_camera_centers.csv").exists()
+        # post-pose-graph trajectory quality (same bar as single-scene)
+        est = res["centers"][s]
+        gt = np.stack([ds.records[f].center for f in res["kf_frames"][s]])
+        r = umeyama.ate(jnp.asarray(est), jnp.asarray(gt), with_scale=True)
+        extent = float(np.linalg.norm(gt - gt.mean(0), axis=1).max())
+        assert float(r["rmse"]) / extent < 0.06, f"scene {s}"
