@@ -122,7 +122,7 @@ def main(argv=None) -> int:
     if use_scan:
         from sfm_tpu.models.scan_pipeline import ScanSfM
 
-        sys_ = ScanSfM(K, cfg, n_frames=n_frames)
+        sys_ = ScanSfM(K, cfg, n_frames=n_frames, gt_records=ds.records)
     else:
         sys_ = SfMSystem(K, cfg, gt_records=ds.records)
 

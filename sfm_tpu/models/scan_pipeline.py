@@ -268,7 +268,7 @@ def _window_ba(cfg: SystemConfig, p_ba: int, Kf, ring: KeyframeRing,
             info["cost0"], info["cost"])
 
 
-def _keyframe_branch(cfg: SystemConfig, p_ba: int, Kf, args):
+def _keyframe_branch(cfg: SystemConfig, p_ba: int, Kf, args, gt_C=None):
     """All keyframe-time geometry + bookkeeping, device-side (ref
     py:951-988 add_keyframe / cpp:1765-1871 keyframe block).
 
@@ -277,7 +277,12 @@ def _keyframe_branch(cfg: SystemConfig, p_ba: int, Kf, args):
     prefix), the edge RANSAC is skipped via ``lax.cond`` whenever the
     previous keyframe IS the previous frame — the snapshot then equals
     the prefix's input and the two solves are statistically identical
-    (saves one full LO-RANSAC per keyframe on keyframe-dense runs)."""
+    (saves one full LO-RANSAC per keyframe on keyframe-dense runs).
+
+    ``gt_C`` (F,3) f32 per-frame ground-truth camera centers: when
+    ``cfg.use_gt_scale`` is set, the edge translation is scaled by the
+    GT baseline between the previous keyframe's frame and this frame
+    (ref py:888-898) instead of the monocular scale estimate."""
     if len(args) == 3:
         carry, idx, k_edge = args
         rp_frame = None
@@ -333,32 +338,39 @@ def _keyframe_branch(cfg: SystemConfig, p_ba: int, Kf, args):
     # LS; twin of system._keyframe_fused_stage) -------------------------
     pid_ok = tval & (carry.slot_pid >= 0)
     Xs = carry.X[jnp.clip(carry.slot_pid, 0, P_CAP - 1)]
-    Xi_cam = Xs @ R_wc_i.T + t_wc_i
-    w3 = Xi_cam @ R_e.T
-    a = t_eu[None, :2] - xj * t_eu[2]
-    b = xj * w3[:, 2:3] - w3[:, :2]
-    den = jnp.sum(a * a, axis=-1)
-    good = pid_ok & (Xi_cam[:, 2] > 1e-6) & (den > 1e-10)
-    sols = jnp.sum(a * b, axis=-1) / jnp.where(den > 1e-10, den, 1.0)
-    s_est = jnp.nan_to_num(
-        jnp.nanmedian(jnp.where(good, sols, jnp.nan)), nan=1.0)
-    s_map = jnp.where((jnp.sum(good) >= 5) & (s_est > 1e-6), s_est, 1.0)
-    # monocular scale-smoothness prior: adjacent keyframe baselines on a
-    # continuous trajectory change smoothly, but the median-of-ratios
-    # scale estimate can misfire when few mapped tracks survive a hard
-    # frame (observed: one 3x scale jump at ~60 shared tracks collapses
-    # the rest of the run). Clamp the propagated step length to
-    # [1/3, 3]x the previous keyframe baseline. (The reference has no
-    # guard — its --use-gt-scale option sidesteps the problem entirely,
-    # ref py:888-898.)
-    b_prev = jnp.linalg.norm(
-        ring.t_cw[prev_i] - ring.t_cw[jnp.maximum(prev_i - 1, 0)])
-    have_prev = (prev_i >= 1) & (b_prev > 1e-9)
-    s_map = jnp.clip(
-        s_map,
-        jnp.where(have_prev, b_prev / 3.0, 0.0),
-        jnp.where(have_prev, 3.0 * b_prev, jnp.inf),
-    )
+    if cfg.use_gt_scale and gt_C is not None:
+        # GT baseline between the previous keyframe's frame and this one
+        # (ref py:888-898): exact metric scale, no estimator, no clamp
+        s_gt = jnp.linalg.norm(
+            gt_C[idx] - gt_C[jnp.maximum(ring.frame[prev_i], 0)])
+        s_map = jnp.where(s_gt > 1e-12, s_gt, 1.0).astype(f32)
+    else:
+        Xi_cam = Xs @ R_wc_i.T + t_wc_i
+        w3 = Xi_cam @ R_e.T
+        a = t_eu[None, :2] - xj * t_eu[2]
+        b = xj * w3[:, 2:3] - w3[:, :2]
+        den = jnp.sum(a * a, axis=-1)
+        good = pid_ok & (Xi_cam[:, 2] > 1e-6) & (den > 1e-10)
+        sols = jnp.sum(a * b, axis=-1) / jnp.where(den > 1e-10, den, 1.0)
+        s_est = jnp.nan_to_num(
+            jnp.nanmedian(jnp.where(good, sols, jnp.nan)), nan=1.0)
+        s_map = jnp.where((jnp.sum(good) >= 5) & (s_est > 1e-6), s_est, 1.0)
+        # monocular scale-smoothness prior: adjacent keyframe baselines on
+        # a continuous trajectory change smoothly, but the median-of-ratios
+        # scale estimate can misfire when few mapped tracks survive a hard
+        # frame (observed: one 3x scale jump at ~60 shared tracks collapses
+        # the rest of the run). Clamp the propagated step length to
+        # [1/3, 3]x the previous keyframe baseline. (The reference has no
+        # guard — its --use-gt-scale option sidesteps the problem entirely,
+        # ref py:888-898.)
+        b_prev = jnp.linalg.norm(
+            ring.t_cw[prev_i] - ring.t_cw[jnp.maximum(prev_i - 1, 0)])
+        have_prev = (prev_i >= 1) & (b_prev > 1e-9)
+        s_map = jnp.clip(
+            s_map,
+            jnp.where(have_prev, b_prev / 3.0, 0.0),
+            jnp.where(have_prev, 3.0 * b_prev, jnp.inf),
+        )
 
     # --- anchored pose + PnP refinement against the map ----------------
     R_a = R_e @ R_wc_i
@@ -499,12 +511,13 @@ def _no_kf_branch(cfg, p_ba, Kf, args):
 @partial(jax.jit, static_argnames=("cfg", "p_ba"),
          donate_argnames=("carry",))
 def run_chunk(cfg: SystemConfig, p_ba: int, Kf, carry: ScanCarry,
-              imgs, idxs, fvalid):
+              imgs, idxs, fvalid, gt_C=None):
     """Process a chunk of frames in ONE device program.
 
     imgs (C,H,W) u8/f32; idxs (C,) i32 frame indices; fvalid (C,) bool
     marks padding frames (no-ops), so every chunk invocation reuses one
-    compiled program regardless of tail length."""
+    compiled program regardless of tail length. ``gt_C`` (F,3) optional
+    per-frame GT centers for cfg.use_gt_scale (see _keyframe_branch)."""
 
     def frame_step(carry, inp):
         img, idx, fval = inp
@@ -514,7 +527,7 @@ def run_chunk(cfg: SystemConfig, p_ba: int, Kf, carry: ScanCarry,
                 cfg, Kf, carry, img, idx)
             carry, ykf = jax.lax.cond(
                 make_kf,
-                partial(_keyframe_branch, cfg, p_ba, Kf),
+                partial(_keyframe_branch, cfg, p_ba, Kf, gt_C=gt_C),
                 lambda a: _no_kf_branch(cfg, p_ba, Kf, a[:3]),
                 (carry, idx, k2, rp),
             )
@@ -702,10 +715,15 @@ class ScanSfM:
 
     def __init__(self, K: np.ndarray, cfg: SystemConfig,
                  n_frames: int | None = None, chunk: int = 16,
-                 p_cap: int = 16384, p_ba: int = 1024):
+                 p_cap: int = 16384, p_ba: int = 1024, gt_records=None):
+        self._gt_C = None
         if cfg.use_gt_scale:
-            raise NotImplementedError(
-                "use_gt_scale requires the host pipeline (models/system.py)")
+            if gt_records is None:
+                raise ValueError(
+                    "cfg.use_gt_scale requires gt_records (the dataset's "
+                    "Middlebury records with GT centers, ref py:888-898)")
+            self._gt_C = jnp.asarray(
+                np.stack([r.center for r in gt_records]), f32)
         self.K = np.asarray(K, np.float64)
         self._Kj = jnp.asarray(self.K, f32)
         self.cfg = cfg
@@ -763,7 +781,8 @@ class ScanSfM:
         self._pending = []
         self.carry, ys = run_chunk(
             self.cfg, self.p_ba, self._Kj, self.carry,
-            jnp.asarray(imgs), jnp.asarray(idxs), jnp.asarray(fvalid))
+            jnp.asarray(imgs), jnp.asarray(idxs), jnp.asarray(fvalid),
+            gt_C=self._gt_C)
         ys = np.asarray(ys, np.float64)  # the chunk's single D2H pull
         for row in ys:
             if row[Y_VALID] < 0.5:
