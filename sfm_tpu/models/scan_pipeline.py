@@ -105,6 +105,20 @@ class ScanCarry(NamedTuple):
     key: jnp.ndarray       # PRNG key
 
 
+@jax.jit
+def _orb_score_bank(d_bank, v_bank, d_j, v_j):
+    """Ratio-passing ORB match counts of keyframe j against a bank of
+    older keyframes, one device call (ref py:557-570 candidate scoring).
+    d_bank (K,N,256) f32 bits, v_bank (K,N) bool; returns (K,) i32."""
+    from sfm_tpu.ops import orb as orb_ops
+
+    def one(d_i, v_i):
+        _, ok, _ = orb_ops.match_hamming(d_i, v_i, d_j, v_j)
+        return jnp.sum(ok, dtype=i32)
+
+    return jax.vmap(one)(d_bank, v_bank)
+
+
 def _empty_ring(K: int, T: int) -> KeyframeRing:
     return KeyframeRing(
         R_cw=jnp.tile(jnp.eye(3, dtype=f32), (K, 1, 1)),
@@ -734,6 +748,11 @@ class ScanSfM:
         self.carry: ScanCarry | None = None
         self.metrics: list[dict] = []
         self.loop_edges: list[Edge] = []
+        # ORB loop-method state: per-keyframe features + a persistent
+        # device-side descriptor bank (kf_cap, max_kp, 256)
+        self._orb_ids: dict[int, tuple] = {}
+        self._orb_bank = None
+        self._orb_bank_valid = None
         # keyframe images only (frame_idx -> u8 gray), for loop-closure
         # verification — retaining every input frame made host memory grow
         # without bound on long runs while only keyframe images are ever
@@ -819,9 +838,14 @@ class ScanSfM:
         """Verify the best above-threshold loop candidate of the chunk
         (ref cpp:1833-1859: re-detect + LK re-track + E-RANSAC gate),
         then run the SE(3) pose graph and push corrected poses back into
-        the device carry."""
+        the device carry. With ``loop.method == "orb"`` candidates come
+        from oriented-binary-feature ratio matching instead of the ring's
+        32x32 descriptors (ref py:557-595 semantics at chunk cadence)."""
         lcfg = self.cfg.loop
         if not lcfg.enabled:
+            return
+        if lcfg.method == "orb":
+            self._check_loops_orb(ys)
             return
         rows = ys[(ys[:, Y_VALID] > 0.5) & (ys[:, Y_KF] > 0.5)
                   & (ys[:, Y_LOOP_S] > lcfg.score_thresh)]
@@ -879,6 +903,85 @@ class ScanSfM:
                     break
             log.info("loop closure %d -> %d (inliers %d)", cand_kf,
                      cur_kf, edge.inliers)
+        if found:
+            self._pose_graph_pushback()
+
+    def _orb_for(self, kf_id: int, img) -> None:
+        """Compute + cache ORB features for keyframe ``kf_id`` and write
+        them into the persistent device-side descriptor bank (so scoring
+        a new keyframe against ALL older ones is one device call with no
+        host->device bank re-upload)."""
+        if kf_id in self._orb_ids:
+            return
+        from sfm_tpu.ops import orb as orb_ops
+
+        lcfg = self.cfg.loop
+        xy, d, v = orb_ops.detect_and_describe(
+            jnp.asarray(img, f32), max_kp=lcfg.max_keypoints)
+        if self._orb_bank is None:
+            self._orb_bank = jnp.zeros(
+                (self.kf_cap, *d.shape), f32)
+            self._orb_bank_valid = jnp.zeros(
+                (self.kf_cap, v.shape[0]), bool)
+        self._orb_bank = self._orb_bank.at[kf_id].set(d)
+        self._orb_bank_valid = self._orb_bank_valid.at[kf_id].set(v)
+        self._orb_ids[kf_id] = (xy, d, v)
+
+    def _check_loops_orb(self, ys: np.ndarray) -> None:
+        """ORB-flavor loop candidates (ref py:557-570: ratio matching
+        against all >= min_kf_gap older keyframes, top-k by match count),
+        verified by the same PnP-primary ``_verify_loop`` machinery as
+        the descriptor flavor. Match counts for all candidates come from
+        ONE vmapped device call against the persistent bank."""
+        from sfm_tpu.ops import orb as orb_ops
+
+        lcfg = self.cfg.loop
+        rows = ys[(ys[:, Y_VALID] > 0.5) & (ys[:, Y_KF] > 0.5)]
+        if len(rows) == 0:
+            return
+        ring = self.carry.ring
+        frames = np.asarray(ring.frame)
+        kvalid = np.asarray(ring.kvalid)
+        found = False
+        if 0 not in self._orb_ids and 0 in self._images:
+            self._orb_for(0, self._images[0])  # bootstrap keyframe
+        for row in rows:
+            cur_frame = int(row[Y_FRAME])
+            arr = np.nonzero(kvalid & (frames == cur_frame))[0]
+            if len(arr) == 0:
+                continue
+            cur_kf = int(arr[0])
+            img_j = self._images.get(cur_frame)
+            if img_j is None:
+                continue
+            self._orb_for(cur_kf, img_j)
+            _, d_j, v_j = self._orb_ids[cur_kf]
+            counts = np.asarray(_orb_score_bank(
+                self._orb_bank, self._orb_bank_valid, d_j, v_j))
+            has = np.zeros(self.kf_cap, bool)
+            for k in self._orb_ids:
+                has[k] = True
+            counts = np.where(has, counts, 0)
+            lim = max(cur_kf - lcfg.min_kf_gap + 1, 0)
+            scored = [(int(counts[k]), k) for k in range(lim)
+                      if kvalid[k] and counts[k] >= lcfg.min_matches]
+            scored.sort(reverse=True)
+            for n, cand_kf in scored[: max(lcfg.top_k, 1)]:
+                old_img = self._images.get(int(frames[cand_kf]))
+                if old_img is None:
+                    continue
+                edge = self._verify_loop(cand_kf, cur_kf, old_img, img_j)
+                if edge is None:
+                    continue
+                self.loop_edges.append(edge)
+                found = True
+                for met in reversed(self.metrics):
+                    if met.get("frame") == cur_frame:
+                        met["loop"] = (cand_kf, cur_kf)
+                        break
+                log.info("loop closure (orb) %d -> %d (matches %d, "
+                         "inliers %d)", cand_kf, cur_kf, n, edge.inliers)
+                break
         if found:
             self._pose_graph_pushback()
 

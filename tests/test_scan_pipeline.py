@@ -206,3 +206,35 @@ def test_scan_use_gt_scale(synthetic_ring):
     assert 0.9 < extent_est / extent_gt < 1.1, "not metric scale"
     res = umeyama.ate(jnp.asarray(est), jnp.asarray(gt), with_scale=False)
     assert float(res["rmse"]) / extent_gt < 0.06
+
+
+def test_scan_loop_closure_orb_flavor(out_and_back_ds):
+    """VERDICT r2 #4(b): the ORB loop method (python-reference semantics,
+    ref py:557-595) must work in the scan pipeline too — candidates from
+    ratio matching against the persistent device-side descriptor bank,
+    verification by the shared PnP-primary machinery."""
+    from sfm_tpu.config import PoseGraphConfig
+    from sfm_tpu.models.scan_pipeline import ScanSfM
+
+    ds = out_and_back_ds
+    n = len(ds.records)
+    cfg = dataclasses.replace(
+        _small_cfg(),
+        frames=n,
+        loop=LoopConfig(enabled=True, method="orb", min_kf_gap=8,
+                        min_matches=60, min_tracked=120,
+                        ransac_iters=1024, ransac_thresh=2e-5,
+                        min_inliers=60),
+        pose_graph=PoseGraphConfig(mode="se3", iters=10),
+    )
+    s = ScanSfM(ds.K, cfg, n_frames=n, chunk=8, p_cap=4096, p_ba=256)
+    for i in range(n):
+        s.process(i, ds.records[i].img, ds.load_gray(i))
+    s.finalize()
+    loops = [e for e in s.edges if e.is_loop]
+    assert len(loops) >= 1, "revisit must produce at least one ORB loop"
+    for e in loops:
+        assert e.j - e.i >= 8
+        gi = ds.records[s.kfs[e.i].frame_idx].center
+        gj = ds.records[s.kfs[e.j].frame_idx].center
+        assert np.linalg.norm(gi - gj) < 0.2
