@@ -22,6 +22,7 @@ forward-backward gate.
 
 from __future__ import annotations
 
+import os
 from functools import partial
 
 import jax
@@ -30,6 +31,20 @@ import jax.numpy as jnp
 from sfm_tpu.ops import image as im
 
 MARGIN = 6  # per-level search margin in px beyond the patch
+
+
+def _use_pallas() -> bool:
+    """Pallas block-gather kernel default on the TPU backend (measured
+    ~1.8x on the margin-block loads that dominate the tracker, v5e —
+    tools/bench_pallas.py); the XLA strips path serves CPU/interpret.
+    SFM_TPU_PALLAS=0/1 overrides (same kill-switch as ops/features)."""
+    env = os.environ.get("SFM_TPU_PALLAS", "").strip()
+    if env in ("0", "1"):
+        return env == "1"
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:
+        return False
 
 
 def _bil_patch(block, fx, fy, P: int, ox: int, oy: int):
@@ -64,6 +79,20 @@ def _load_blocks(img, origins, P: int, margin: int):
     start = jnp.clip(start, 0.0, jnp.array([W - WIN, H - WIN], origins.dtype))
     starts = start.astype(jnp.int32)
 
+    # Pallas fast path for the search-margin blocks (the dominant load):
+    # per-track tile-aligned VMEM reads instead of (T,WIN,W) row strips.
+    # Template loads (margin=0, narrow strips) stay on the XLA path —
+    # measured slower in the kernel. The kernel's blocks are 8 rows
+    # taller, anchored at the 8-aligned row; _patch absorbs the row
+    # remainder through the float anchor.
+    if margin > 0 and WIN <= 128 and H >= WIN and W >= WIN and _use_pallas():
+        from sfm_tpu.ops.pallas.block_gather_kernel import load_blocks_pallas
+
+        blocks, anchors = load_blocks_pallas(
+            img, starts, WIN,
+            interpret=jax.default_backend() != "tpu")
+        return blocks, anchors.astype(origins.dtype)
+
     row_idx = starts[:, 1:2] + jnp.arange(WIN, dtype=jnp.int32)[None]  # (T,WIN)
     strips = jnp.take(img, row_idx, axis=0)  # (T,WIN,W) row gather
     cols = jax.lax.broadcasted_iota(jnp.int32, (1, W, WIN), 1)
@@ -91,19 +120,24 @@ def _patch(blocks, anchors, origins, P: int, ox: int = 0, oy: int = 0):
     with two one-hot matmuls instead of a batched dynamic-slice: gathers
     are the slowest primitive on TPU while batched small matmuls ride the
     MXU — this keeps the entire LK iteration loop gather-free."""
-    WIN = blocks.shape[-1]
+    # blocks may be rectangular: the Pallas gather returns row-aligned
+    # (WINy = WIN+8, WINx = WIN) blocks whose extra rows are absorbed
+    # here through the anchor (per-axis clip bounds)
+    WINy, WINx = blocks.shape[-2], blocks.shape[-1]
     S = P + 3
     dtype = blocks.dtype
     q = origins - anchors
-    qi = jnp.clip(jnp.floor(q), 1.0, WIN - P - 2.0)
+    qi = jnp.clip(jnp.floor(q), 1.0,
+                  jnp.array([WINx - P - 2.0, WINy - P - 2.0], q.dtype))
     f = q - qi
     qii = qi.astype(jnp.int32) - 1  # sub-window origin inside the block
 
-    cols = jax.lax.broadcasted_iota(jnp.int32, (1, S, WIN), 2)
+    cols_y = jax.lax.broadcasted_iota(jnp.int32, (1, S, WINy), 2)
     rows_y = jax.lax.broadcasted_iota(jnp.int32, (1, S, 1), 1) + qii[:, 1][:, None, None]
-    Sy = (cols == rows_y).astype(dtype)  # (T,S,WIN) one-hot row selector
+    Sy = (cols_y == rows_y).astype(dtype)  # (T,S,WINy) one-hot row selector
+    cols_x = jax.lax.broadcasted_iota(jnp.int32, (1, S, WINx), 2)
     rows_x = jax.lax.broadcasted_iota(jnp.int32, (1, S, 1), 1) + qii[:, 0][:, None, None]
-    Sx = (cols == rows_x).astype(dtype)  # (T,S,WIN) one-hot col selector
+    Sx = (cols_x == rows_x).astype(dtype)  # (T,S,WINx) one-hot col selector
     # DEFAULT precision: one-hot selector x image data (see _load_blocks)
     sub_rows = jnp.einsum("tiw,twv->tiv", Sy, blocks,
                           precision=jax.lax.Precision.DEFAULT)  # (T,S,WIN)
@@ -112,38 +146,104 @@ def _patch(blocks, anchors, origins, P: int, ox: int = 0, oy: int = 0):
     return _bil_patch(sub, f[:, 0], f[:, 1], P, ox, oy), sub, f
 
 
+def _barrel_take(x, q, S: int, axis: int):
+    """``out[..i..] = x[..q+i..]`` along ``axis`` for i < S, with a
+    per-TRACK shift q (tracks on the LAST axis), as an unrolled binary
+    barrel shifter: log2(range) conditional static rolls instead of a
+    per-track one-hot matmul. On TPU the lane-wise selects run at full
+    VPU width because tracks ride the 128-lane axis, whereas the
+    (T, small, small) batched-matmul formulation leaves ~90% of each
+    vector lane idle. q must already be clipped to [0, size-S], so the
+    circular wrap never reaches the first S kept entries."""
+    size = x.shape[axis]
+    k = 1
+    while k <= size - S:
+        bit = (q // k) % 2 == 1  # (T,) — broadcasts against (..., T)
+        x = jnp.where(bit, jnp.roll(x, -k, axis=axis), x)
+        k *= 2
+    return jax.lax.slice_in_dim(x, 0, S, axis=axis)
+
+
+def _bil_t(block, fx, fy, P: int, ox: int, oy: int):
+    """(P,P,T) bilinear patch from (S,S,T) sub-blocks — the transposed
+    twin of _bil_patch (patch dims leading, tracks on lanes)."""
+    y0 = 1 + oy
+    x0 = 1 + ox
+    w00 = block[y0 : y0 + P, x0 : x0 + P]
+    w01 = block[y0 : y0 + P, x0 + 1 : x0 + P + 1]
+    w10 = block[y0 + 1 : y0 + P + 1, x0 : x0 + P]
+    w11 = block[y0 + 1 : y0 + P + 1, x0 + 1 : x0 + P + 1]
+    fx = fx[None, None, :]
+    fy = fy[None, None, :]
+    return (
+        w00 * (1.0 - fx) * (1.0 - fy)
+        + w01 * fx * (1.0 - fy)
+        + w10 * (1.0 - fx) * fy
+        + w11 * fx * fy
+    )
+
+
+def _qf(origins, anchors, P: int, WINx: int, WINy: int):
+    """Integer sub-window origin (clipped per axis) + fractional rest."""
+    q = origins - anchors
+    qi = jnp.clip(jnp.floor(q), 1.0,
+                  jnp.array([WINx - P - 2.0, WINy - P - 2.0], q.dtype))
+    return qi.astype(jnp.int32) - 1, q - qi
+
+
 def _lk_level(img0, img1, p0_l, v, iters: int, radius: int, min_det: float,
               margin: int = MARGIN):
     """Run ``iters`` LK updates at one pyramid level for all tracks.
 
     p0_l: (T,2) template positions at this level; v: (T,2) current flow.
     Returns updated flow v.
+
+    The iteration loop runs in TRANSPOSED layout — blocks as
+    (WINy, WINx, T) with tracks on the 128-lane axis — so the per-track
+    sub-window extraction is a barrel shifter (_barrel_take) and all
+    patch algebra runs at full VPU width. The previous
+    (T, small, small) one-hot-matmul formulation (kept as
+    ``_patch`` for the template path users) spent its per-iteration
+    time in batched 16x28 matmuls that use a fraction of the MXU and
+    13 of 128 lanes in the elementwise steps.
     """
     P = 2 * radius + 1
+    S = P + 3
 
     # template: fixed patch from img0 (no search margin)
     blk0, a0 = _load_blocks(img0, p0_l - radius, P, margin=0)
-    tmpl, _, _ = _patch(blk0, a0, p0_l - radius, P)
-
     # target: one block per track with the search margin, loaded once
     blk1, a1 = _load_blocks(img1, p0_l + v - radius, P, margin=margin)
 
+    B0 = jnp.transpose(blk0, (1, 2, 0))  # (WINy,WINx,T)
+    B1 = jnp.transpose(blk1, (1, 2, 0))
+    WINy0, WINx0 = B0.shape[0], B0.shape[1]
+    WINy1, WINx1 = B1.shape[0], B1.shape[1]
+
+    qii0, f0 = _qf(p0_l - radius, a0, P, WINx0, WINy0)
+    sub0 = _barrel_take(
+        _barrel_take(B0, qii0[:, 1], S, 0), qii0[:, 0], S, 1)
+    tmpl = _bil_t(sub0, f0[:, 0], f0[:, 1], P, 0, 0)  # (P,P,T)
+
     def body(_, v):
         origins = p0_l + v - radius
-        cur, sub, f = _patch(blk1, a1, origins, P)
+        qii, f = _qf(origins, a1, P, WINx1, WINy1)
+        sub = _barrel_take(
+            _barrel_take(B1, qii[:, 1], S, 0), qii[:, 0], S, 1)
         fx, fy = f[:, 0], f[:, 1]
+        cur = _bil_t(sub, fx, fy, P, 0, 0)
         gx = 0.5 * (
-            _bil_patch(sub, fx, fy, P, 1, 0) - _bil_patch(sub, fx, fy, P, -1, 0)
+            _bil_t(sub, fx, fy, P, 1, 0) - _bil_t(sub, fx, fy, P, -1, 0)
         )
         gy = 0.5 * (
-            _bil_patch(sub, fx, fy, P, 0, 1) - _bil_patch(sub, fx, fy, P, 0, -1)
+            _bil_t(sub, fx, fy, P, 0, 1) - _bil_t(sub, fx, fy, P, 0, -1)
         )
         r = tmpl - cur
-        gxx = jnp.sum(gx * gx, axis=(-2, -1))
-        gxy = jnp.sum(gx * gy, axis=(-2, -1))
-        gyy = jnp.sum(gy * gy, axis=(-2, -1))
-        bx = jnp.sum(gx * r, axis=(-2, -1))
-        by = jnp.sum(gy * r, axis=(-2, -1))
+        gxx = jnp.sum(gx * gx, axis=(0, 1))
+        gxy = jnp.sum(gx * gy, axis=(0, 1))
+        gyy = jnp.sum(gy * gy, axis=(0, 1))
+        bx = jnp.sum(gx * r, axis=(0, 1))
+        by = jnp.sum(gy * r, axis=(0, 1))
         det = gxx * gyy - gxy * gxy
         inv_det = jnp.where(jnp.abs(det) > min_det, 1.0 / det, 0.0)
         dvx = (gyy * bx - gxy * by) * inv_det

@@ -1,0 +1,121 @@
+"""Per-track window-block gather Pallas kernel for the KLT tracker.
+
+The XLA path (ops/klt._load_blocks) gathers whole image ROWS per track
+((T,WIN,W) strips — ~150 MB of HBM traffic at bench scale) and extracts
+the column window with a batched one-hot matmul. Profiling on a v5e
+shows this per-level block loading dominates the tracker (~8 ms of the
+13 ms fwd+bwd track; the LK iteration loop itself is only ~0.08 ms/iter).
+
+This kernel keeps the image in VMEM and per track reads ONE
+(WIN+8, 256) tile-aligned sub-block:
+
+  * rows start at the 8-ALIGNED sublane below the wanted origin —
+    Mosaic only lowers dynamic-sublane loads it can statically prove
+    8-aligned, and `(sy // 8) * 8` qualifies (a runtime clamp does not,
+    so the wrapper pads the image instead of clamping);
+  * lanes start at the 128-ALIGNED tile holding the wanted column — the
+    requested WIN <= 128 columns span at most two adjacent lane tiles,
+    so a (rows, 256) slice always covers them (the wrapper pads the
+    width by an extra tile so the slice never runs off the edge);
+  * the in-tile column remainder is rotated out with `pltpu.roll`
+    (tpu.dynamic_rotate — the one supported dynamic-shift axis; neither
+    dynamic lane slices nor dynamic sublane rotates lower to Mosaic).
+
+The returned blocks are 8 rows taller than requested and anchored at
+the aligned row; the caller's one-hot sub-window extraction
+(ops/klt._patch) absorbs the 0..7-row remainder through the anchor at
+zero extra cost. One HBM read of the image, one write of the blocks,
+zero strips.
+
+ref: the reference's per-track scalar window reads are
+cpp/src/templering_sfm.cpp:408-423 (track_one window loads).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+ROW_SLACK = 8    # extra block rows from the 8-aligned row anchor
+LANE = 128       # lane-tile width
+
+
+def _kernel(starts_ref, img_ref, out_ref, *, WIN: int, TB: int,
+            interpret: bool):
+    WIN_AL = WIN + ROW_SLACK
+
+    def body(t, carry):
+        sy8 = starts_ref[t, 1]  # pre-aligned by the wrapper
+        sx = starts_ref[t, 0]
+        tx = (sx // LANE) * LANE  # provably 128-aligned lane-tile start
+        strip = img_ref[pl.ds((sy8 // 8) * 8, WIN_AL),
+                        pl.ds(tx, 2 * LANE)]  # (WIN_AL, 256)
+        lx = sx - tx  # 0..127 in-tile column remainder
+        # left-rotate lanes so column lx lands at 0 (jnp.roll moves
+        # i -> i+s, so s = -lx; the hardware rotate wants non-negative)
+        if interpret:
+            rolled = jnp.roll(strip, -lx, axis=1)
+        else:
+            rolled = pltpu.roll(
+                strip, jnp.where(lx == 0, 0, jnp.int32(2 * LANE) - lx),
+                axis=1)
+        out_ref[pl.ds(t, 1)] = rolled[:, :WIN][None]
+        return carry
+
+    jax.lax.fori_loop(0, TB, body, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("WIN", "TB", "interpret"))
+def load_blocks_pallas(img, starts, WIN: int, TB: int = 256,
+                       interpret: bool = False):
+    """Gather a row-aligned (WIN+8, WIN) block per track.
+
+    img (H,W) f32; starts (T,2) i32 wanted top-left corners (x, y),
+    clipped to [0, W-WIN] x [0, H-WIN]; WIN <= 128. Returns
+    (blocks (T, WIN+8, WIN), anchors (T,2) i32) where ``anchors`` is
+    (x, 8-aligned y): block row ``r`` holds image row ``anchor_y + r``,
+    so rows [y - anchor_y, y - anchor_y + WIN) are the requested window.
+    """
+    H, W = img.shape
+    if H < WIN or W < WIN:
+        raise ValueError(f"image {H}x{W} too small for WIN={WIN}")
+    if WIN > LANE:
+        raise ValueError(f"WIN={WIN} exceeds one lane tile ({LANE})")
+    # pad: 8 slack rows (8-aligned row start without a clamp) and one
+    # extra lane tile past the rounded-up width (the 2-tile lane slice
+    # never runs off the edge). Pad content never reaches the first WIN
+    # rows / the extracted columns.
+    W_pad = -(-W // LANE) * LANE + LANE
+    img = jnp.pad(img, ((0, ROW_SLACK), (0, W_pad - W)))
+    T = starts.shape[0]
+    TB = min(TB, max(T, 1))
+    T_pad = -(-T // TB) * TB
+    starts = starts.astype(jnp.int32)
+    anchors = jnp.stack(
+        [starts[:, 0], (starts[:, 1] // 8) * 8], axis=-1)
+    starts_p = jnp.zeros((T_pad, 2), jnp.int32).at[:T].set(anchors)
+    grid = (T_pad // TB,)
+    kernel = functools.partial(_kernel, WIN=WIN, TB=TB, interpret=interpret)
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            # per-step (TB,2) slice of the starts in SMEM (scalar reads);
+            # prefetching ALL starts as a scalar operand blew the 1 MB
+            # SMEM budget at bench scale
+            pl.BlockSpec((TB, 2), lambda g: (g, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((H + ROW_SLACK, W_pad), lambda g: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((TB, WIN + ROW_SLACK, WIN),
+                               lambda g: (g, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((T_pad, WIN + ROW_SLACK, WIN),
+                                       img.dtype),
+        interpret=interpret,
+    )(starts_p, img)
+    return out[:T], anchors

@@ -35,3 +35,50 @@ def test_shi_tomasi_pallas_matches_xla(rng):
                                atol=1e-3)
 
 
+
+
+def test_block_gather_pallas_exact(rng):
+    """The per-track block gather (interpret mode) returns exactly the
+    requested image windows, row-anchored at the 8-aligned row."""
+    from sfm_tpu.ops.pallas.block_gather_kernel import load_blocks_pallas
+
+    for H, W, T, WIN in ((120, 160, 37, 28), (60, 80, 200, 28),
+                         (128, 256, 64, 16)):
+        img = jnp.asarray(rng.standard_normal((H, W)), jnp.float32)
+        sx = rng.integers(0, W - WIN + 1, T)
+        sy = rng.integers(0, H - WIN + 1, T)
+        starts = jnp.asarray(np.stack([sx, sy], -1), jnp.int32)
+        blocks, anchors = load_blocks_pallas(img, starts, WIN, TB=64,
+                                             interpret=True)
+        bn, an = np.asarray(blocks), np.asarray(anchors)
+        imn = np.asarray(img)
+        for t in range(T):
+            dy = sy[t] - an[t, 1]
+            np.testing.assert_array_equal(
+                bn[t, dy:dy + WIN],
+                imn[sy[t]:sy[t] + WIN, sx[t]:sx[t] + WIN])
+
+
+def test_lk_level_pallas_loader_matches_xla(rng, monkeypatch):
+    """_lk_level flows must be identical whichever block loader runs:
+    the kernel's row-aligned rectangular blocks are absorbed exactly by
+    _patch's per-axis anchor arithmetic."""
+    import jax
+
+    img0 = jnp.asarray(make_textured(rng, 120, 160))
+    img1 = jnp.roll(img0, (2, -3), axis=(0, 1))
+    T = 150
+    pts = jnp.asarray(rng.uniform(20, [140, 100], (T, 2)), jnp.float32)
+    v0 = jnp.zeros((T, 2), jnp.float32)
+
+    def run():
+        # fresh trace each time: _use_pallas() is read at TRACE time, so
+        # a cached executable would ignore the monkeypatched value
+        jax.clear_caches()
+        return np.asarray(klt._lk_level(img0, img1, pts, v0, 8, 6, 1e-4))
+
+    monkeypatch.setattr(klt, "_use_pallas", lambda: False)
+    v_xla = run()
+    monkeypatch.setattr(klt, "_use_pallas", lambda: True)
+    v_pal = run()
+    np.testing.assert_allclose(v_pal, v_xla, atol=1e-5)

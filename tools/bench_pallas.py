@@ -5,9 +5,12 @@ Times, at bench scale (640x480 f32 image, 2200 tracks, radius 6,
 16 iterations):
   1. Shi-Tomasi corner response map: ops/features.shi_tomasi_score vs
      ops/pallas/shi_tomasi_kernel.shi_tomasi_score_pallas
-  (the LK Pallas kernel was deleted in round 2 — its per-track dynamic
-  window loads cannot lower to Mosaic TC; ops/klt._lk_level is timed for
-  reference)
+  2. ops/klt._lk_level (transposed barrel-shift iteration, round 3)
+  3. per-track block gather: ops/pallas/block_gather_kernel vs the XLA
+     strips path (round-2's full LK-iteration kernel stays deleted —
+     per-track dynamic lane-dimension window loads cannot lower to
+     Mosaic TC; the round-3 gather kernel sidesteps that with
+     tile-aligned loads + lane rotates)
 
 Usage: python tools/bench_pallas.py   (on the TPU host env)
 """
@@ -32,11 +35,14 @@ import numpy as np
 
 def timeit(fn, *args, reps=20):
     out = fn(*args)
-    jax.block_until_ready(out)
+    # force a REAL device->host fetch: on the axon relay,
+    # block_until_ready returns at dispatch (reads 0.05 ms for a 28 ms
+    # stage); only a materializing np.asarray synchronizes
+    _ = np.asarray(jax.tree.leaves(out)[0]).ravel()[:1]
     t0 = time.perf_counter()
     for _ in range(reps):
         out = fn(*args)
-    jax.block_until_ready(out)
+    _ = np.asarray(jax.tree.leaves(out)[0]).ravel()[:1]
     return (time.perf_counter() - t0) / reps * 1e3  # ms
 
 
@@ -69,8 +75,30 @@ def main():
     lk_xla = timeit(
         jax.jit(lambda a, b, p, v: klt._lk_level(a, b, p, v, IT, R, 1e-4)),
         img0j, img1j, pts, v0)
-    print(f"lk_level    XLA    {lk_xla:8.3f} ms (window-block formulation; "
-          "no Pallas twin — see module docstring)", flush=True)
+    print(f"lk_level           {lk_xla:8.3f} ms (transposed barrel-shift "
+          "iteration; loader per SFM_TPU_PALLAS)", flush=True)
+
+    # per-track block gather: Pallas kernel vs XLA strips path
+    from sfm_tpu.ops.pallas import block_gather_kernel
+
+    P = 2 * R + 1
+    WIN = P + 2 * klt.MARGIN + 3
+    starts = jnp.asarray(
+        np.clip(np.floor(np.asarray(pts)) - klt.MARGIN - 1 - R, 0,
+                [W - WIN, H - WIN]), jnp.int32)
+    blk_pal = timeit(
+        lambda i_, s_: block_gather_kernel.load_blocks_pallas(i_, s_, WIN)[0],
+        img1j, starts)
+    orig = klt._use_pallas
+    klt._use_pallas = lambda: False
+    blk_xla = timeit(
+        jax.jit(lambda i_, p_: klt._load_blocks(i_, p_ - R, P, klt.MARGIN)[0]),
+        img1j, pts)
+    klt._use_pallas = orig
+    print(f"block_gather XLA   {blk_xla:8.3f} ms", flush=True)
+    print(f"block_gather Pallas{blk_pal:8.3f} ms   speedup "
+          f"x{blk_xla / blk_pal:.2f}  (standalone; end-to-end neutral — "
+          "the loader is off the fused tracker's critical path)", flush=True)
 
 
 if __name__ == "__main__":
