@@ -704,6 +704,134 @@ def _loop_pnp_stage(Kf, img_old, img_new, uv_old, X_old, m_old,
     ])
 
 
+@partial(jax.jit, static_argnames=("levels", "lk_iters", "radius",
+                                   "pnp_iters"))
+def _loop_pnp_edge_stage(Kf, img_old, img_new, uv_old, pid_old, tval_old,
+                         R_cw_o, C_o, X, pid_j, tval_j, R_cw_j_ring, C_j,
+                         levels: int, lk_iters: int, radius: int,
+                         fb_thresh, huber_delta, pnp_iters: int = 12):
+    """Fused loop-edge builder: _loop_pnp_stage plus the edge transform
+    and the revealed-relative-scale estimate, all device-side.
+
+    The round-2 host wrapper pulled the old keyframe's pid/tvalid rows,
+    the FULL map-point table (twice: X_old and the s_rel block), and the
+    ring pose rows before re-uploading them — ~0.35 s per verification,
+    all device->host churn. Here the host passes device slices and pulls
+    ONE 16-float pack: [R_ji(9), t_ji(3), inliers, n_tracked, s_rel,
+    n_mapped_old].
+    """
+    P_CAP = X.shape[0]
+    m_old = tval_old & (pid_old >= 0)
+    X_old = X[jnp.clip(pid_old, 0, P_CAP - 1)]
+    R_wc0 = R_cw_o.T
+    t_wc0 = -R_wc0 @ C_o
+    pack = _loop_pnp_stage.__wrapped__(
+        Kf, img_old, img_new, uv_old, X_old.astype(f32), m_old,
+        R_wc0, t_wc0, levels, lk_iters, radius, fb_thresh, huber_delta,
+        pnp_iters)
+    R_wc_j = pack[:9].reshape(3, 3)
+    t_wc_j = pack[9:12]
+    # pose-graph edge i->j from the metric PnP pose
+    R_ji = R_wc_j @ R_cw_o
+    t_ji = R_wc_j @ C_o + t_wc_j
+    # relative scale revealed by the closure (see _verify_loop): median
+    # depth of j in its OWN map vs in the OLD segment's map at the PnP
+    # pose — node convention x_w = s·R·x_c + C gives s_rel = s_i/s_j
+    d_i = (X_old @ R_wc_j.T + t_wc_j)[:, 2]
+    ok_i = m_old & (d_i > 1e-9)
+    m_j = tval_j & (pid_j >= 0)
+    X_j = X[jnp.clip(pid_j, 0, P_CAP - 1)]
+    d_j = ((X_j - C_j) @ R_cw_j_ring)[:, 2]
+    ok_j = m_j & (d_j > 1e-9)
+    med_i = jnp.nanmedian(jnp.where(ok_i, d_i, jnp.nan))
+    med_j = jnp.nanmedian(jnp.where(ok_j, d_j, jnp.nan))
+    s_ok = ((jnp.sum(ok_i) >= 20) & (jnp.sum(ok_j) >= 20)
+            & (med_i > 1e-12))
+    s_rel = jnp.where(s_ok, med_j / jnp.maximum(med_i, 1e-12), 1.0)
+    s_rel = jnp.nan_to_num(s_rel, nan=1.0)
+    return jnp.concatenate([
+        R_ji.reshape(9).astype(f32), t_ji.astype(f32),
+        jnp.stack([pack[12], pack[13], s_rel.astype(f32),
+                   jnp.sum(m_old).astype(f32)]),
+    ])
+
+
+@jax.jit
+def _drain_stage(carry: ScanCarry):
+    """Pack the whole drainable device state into ONE flat f32 vector:
+    on the relay every device->host pull costs ~30 ms regardless of
+    size, and the round-2 finalize made 13 of them (9 ring fields +
+    X + 2 scalars + edge arrays). Integer fields ride as f32 — exact
+    for ids < 2^24, far beyond any supported run length."""
+    ring = carry.ring
+    parts = [
+        ring.R_cw.ravel(), ring.t_cw.ravel(),
+        ring.frame.astype(f32), ring.uv.ravel(),
+        ring.ids.astype(f32).ravel(), ring.tvalid.astype(f32).ravel(),
+        ring.pid.astype(f32).ravel(), ring.desc.ravel(),
+        ring.e_Rji.ravel(), ring.e_tji.ravel(),
+        ring.e_inl.astype(f32), ring.e_valid.astype(f32),
+        carry.X.ravel(),
+        jnp.stack([carry.kf_count.astype(f32), carry.n_pts.astype(f32)]),
+    ]
+    return jnp.concatenate([p.astype(f32) for p in parts])
+
+
+@jax.jit
+def _ring_pose_stage(carry: ScanCarry):
+    """Packed pull of the ring poses + bookkeeping used by the host
+    between chunks (loop gating, pose-graph assembly): one pull instead
+    of 4-5 separate np.asarray conversions."""
+    ring = carry.ring
+    return jnp.concatenate([
+        ring.R_cw.ravel(), ring.t_cw.ravel(),
+        ring.frame.astype(f32), ring.kvalid.astype(f32),
+        carry.kf_count.astype(f32)[None],
+    ])
+
+
+def _unpack_ring_poses(flat: np.ndarray, K: int) -> dict:
+    out = {
+        "R_cw": flat[: K * 9].reshape(K, 3, 3),
+        "t_cw": flat[K * 9 : K * 12].reshape(K, 3),
+        "frame": flat[K * 12 : K * 13].astype(np.int64),
+        "kvalid": flat[K * 13 : K * 14] > 0.5,
+        "n_kf": int(flat[K * 14]),
+    }
+    return out
+
+
+@jax.jit
+def _dlt_packed(Ra, ta, xa, Rb, tb, xb):
+    """triangulate_dlt with its three outputs packed into one (N,5)
+    array — one pull instead of three (see _drain_stage)."""
+    X3, za, zb = triangulate.triangulate_dlt(Ra, ta, xa, Rb, tb, xb)
+    return jnp.concatenate([X3, za[:, None], zb[:, None]], axis=1)
+
+
+def _unpack_drain(flat: np.ndarray, K: int, T: int, D: int, P: int) -> dict:
+    """Host twin of _drain_stage's layout."""
+    shapes = [
+        ("R_cw", (K, 3, 3)), ("t_cw", (K, 3)), ("frame", (K,)),
+        ("uv", (K, T, 2)), ("ids", (K, T)), ("tvalid", (K, T)),
+        ("pid", (K, T)), ("desc", (K, D)), ("e_Rji", (K, 3, 3)),
+        ("e_tji", (K, 3)), ("e_inl", (K,)), ("e_valid", (K,)),
+        ("X", (P, 3)), ("counts", (2,)),
+    ]
+    out = {}
+    off = 0
+    for name, shp in shapes:
+        n = int(np.prod(shp))
+        out[name] = flat[off:off + n].reshape(shp)
+        off += n
+    assert off == len(flat)
+    for name in ("frame", "ids", "pid", "e_inl"):
+        out[name] = out[name].astype(np.int64)
+    for name in ("tvalid", "e_valid"):
+        out[name] = out[name] > 0.5
+    return out
+
+
 # ---------------------------------------------------------------------------
 # Host wrapper
 # ---------------------------------------------------------------------------
@@ -858,17 +986,19 @@ class ScanSfM:
         # candidate — the PnP verification rejects false ones reliably
         # and is one cheap device call each
         order = np.argsort(-rows[:, Y_LOOP_S])[: max(lcfg.top_k, 1)]
-        ring = self.carry.ring
-        frames = np.asarray(ring.frame)
-        kvalid = np.asarray(ring.kvalid)
+        K_ = self.carry.ring.pid.shape[0]
+        rp = _unpack_ring_poses(
+            np.asarray(_ring_pose_stage(self.carry), np.float64), K_)
+        frames = rp["frame"]
+        kvalid = rp["kvalid"]
         # spatial-consistency pre-gate (free, host-side): a true revisit's
         # estimated centers are close — odometry drift is a small fraction
         # of the trajectory — while descriptor false positives on noise
         # texture are anywhere on the ring. Skipping far-apart candidates
         # saves a ~300 ms device verification each (measured: ~10 false
         # verifications per bench run without the gate).
-        n_kf = int(self.carry.kf_count)
-        cs = np.asarray(ring.t_cw, np.float64)[:n_kf]
+        n_kf = rp["n_kf"]
+        cs = rp["t_cw"][:n_kf]
         odo = np.linalg.norm(np.diff(cs, axis=0), axis=1)
         extent = float(np.linalg.norm(cs - cs.mean(0), axis=1).max())
         b_gate = max(5.0 * (float(np.median(odo)) if len(odo) else 1.0),
@@ -892,7 +1022,8 @@ class ScanSfM:
             new_img = self._images.get(cur_frame)
             if old_img is None or new_img is None:
                 continue  # image not retained (non-keyframe or pre-resume)
-            edge = self._verify_loop(cand_kf, cur_kf, old_img, new_img)
+            edge = self._verify_loop(cand_kf, cur_kf, old_img, new_img,
+                                     cs=cs)
             if edge is None:
                 continue
             self.loop_edges.append(edge)
@@ -985,7 +1116,8 @@ class ScanSfM:
         if found:
             self._pose_graph_pushback()
 
-    def _verify_loop(self, cand_kf: int, cur_kf: int, old_img, new_img):
+    def _verify_loop(self, cand_kf: int, cur_kf: int, old_img, new_img,
+                     cs: np.ndarray | None = None):
         """Verify a loop candidate and build its pose-graph edge.
 
         Primary path: PnP against the old keyframe's mapped tracks
@@ -997,72 +1129,48 @@ class ScanSfM:
         lcfg = self.cfg.loop
         kcfg = self.cfg.klt
         ring = self.carry.ring
-        pid_row = np.asarray(ring.pid[cand_kf])
-        m_old = np.asarray(ring.tvalid[cand_kf]) & (pid_row >= 0)
         lw = self.cfg.pose_graph.loop_weight
-        if int(m_old.sum()) >= 30:
-            R_cw_o = np.asarray(ring.R_cw[cand_kf], np.float64)
-            C_o = np.asarray(ring.t_cw[cand_kf], np.float64)
-            R_wc0 = R_cw_o.T
-            t_wc0 = -R_wc0 @ C_o
-            X_old = np.asarray(self.carry.X)[
-                np.clip(pid_row, 0, self.p_cap - 1)]
+        # one scalar pull decides the branch; everything else stays on
+        # device inside _loop_pnp_edge_stage (the round-2 wrapper's
+        # array pulls cost ~0.35 s per verification)
+        n_mapped = int(np.asarray(
+            jnp.sum(ring.tvalid[cand_kf] & (ring.pid[cand_kf] >= 0),
+                    dtype=i32)))
+        if n_mapped >= 30:
             fx = float(self.K[0, 0])
-            pack = np.asarray(_loop_pnp_stage(
+            pack = np.asarray(_loop_pnp_edge_stage(
                 self._Kj, jnp.asarray(old_img), jnp.asarray(new_img),
-                ring.uv[cand_kf], jnp.asarray(X_old, f32),
-                jnp.asarray(m_old),
-                jnp.asarray(R_wc0, f32), jnp.asarray(t_wc0, f32),
+                ring.uv[cand_kf], ring.pid[cand_kf], ring.tvalid[cand_kf],
+                ring.R_cw[cand_kf], ring.t_cw[cand_kf], self.carry.X,
+                ring.pid[cur_kf], ring.tvalid[cur_kf],
+                ring.R_cw[cur_kf], ring.t_cw[cur_kf],
                 levels=kcfg.pyr_levels, lk_iters=kcfg.iters,
                 radius=kcfg.win_radius, fb_thresh=kcfg.fb_thresh,
                 huber_delta=self.cfg.ba.huber_delta / fx,
             ), np.float64)  # one pull
-            R_wc_j = pack[:9].reshape(3, 3)
-            t_wc_j = pack[9:12]
+            R_ji = pack[:9].reshape(3, 3)
+            t_ji = pack[9:12]
             inliers = int(pack[12])
             n_tracked = int(pack[13])
+            s_rel = float(pack[14])
             if n_tracked < min(lcfg.min_tracked, 30) \
                     or inliers < lcfg.min_inliers:
                 log.info("loop candidate %d->%d rejected "
                          "(pnp tracked=%d inliers=%d)",
                          cand_kf, cur_kf, n_tracked, inliers)
                 return None
-            # edge from the PnP pose: metric translation, scale resolved
-            R_ji = R_wc_j @ R_cw_o
-            t_ji = R_wc_j @ C_o + t_wc_j
             b = float(np.linalg.norm(t_ji))
             w_tr = lw
             if self.cfg.translation_mode != TranslationMode.FULL:
                 # dir-mode residual compares unit vectors: still gate the
                 # translation by the (now metric, PnP-measured) baseline —
                 # a zero-length translation has no direction
-                n_kf = int(self.carry.kf_count)
-                cs = np.asarray(ring.t_cw, np.float64)[:n_kf]
+                if cs is None:
+                    n_kf = int(self.carry.kf_count)
+                    cs = np.asarray(ring.t_cw, np.float64)[:n_kf]
                 odo = np.linalg.norm(np.diff(cs, axis=0), axis=1)
                 b_ref = float(np.median(odo)) if len(odo) else 1.0
                 w_tr = lw * min(1.0, b / max(b_ref, 1e-12))
-            # relative scale revealed by the closure (for
-            # pose_graph.mode="sim3"): the same physical scene seen in
-            # the OLD segment's map scale (X_old at the PnP pose) vs the
-            # CURRENT segment's map scale (points observed at cur_kf).
-            # Node convention x_w = s·R·x_c + C gives
-            # s_rel = s_i/s_j = (median depth at j in j's map) /
-            #                   (median depth at j in i's map).
-            s_rel = 1.0
-            d_i = (X_old[m_old] @ R_wc_j.T + t_wc_j)[:, 2]
-            d_i = d_i[d_i > 1e-9]
-            pid_j = np.asarray(ring.pid[cur_kf])
-            m_j = np.asarray(ring.tvalid[cur_kf]) & (pid_j >= 0)
-            if int(m_j.sum()) >= 20 and len(d_i) >= 20:
-                X_j = np.asarray(self.carry.X)[
-                    np.clip(pid_j, 0, self.p_cap - 1)][m_j]
-                R_cw_j = np.asarray(ring.R_cw[cur_kf], np.float64)
-                C_j = np.asarray(ring.t_cw[cur_kf], np.float64)
-                # camera-frame depth: x_cam = R_cwᵀ(X − C)
-                d_j = ((X_j - C_j) @ R_cw_j)[:, 2]
-                d_j = d_j[d_j > 1e-9]
-                if len(d_j) >= 20:
-                    s_rel = float(np.median(d_j) / np.median(d_i))
             return Edge(i=cand_kf, j=cur_kf, R_ji=R_ji, t_ji=t_ji,
                         inliers=inliers, is_loop=True,
                         w_rot=lw, w_trans=w_tr, s_rel=s_rel)
@@ -1082,8 +1190,9 @@ class ScanSfM:
         # edge (direction AND rotation unobservable) self-silences — the
         # reference's center-only solve does this implicitly via its
         # length scaling (cpp:1156-1157)
-        n_kf = int(self.carry.kf_count)
-        cs = np.asarray(ring.t_cw, np.float64)[:n_kf]
+        if cs is None:
+            n_kf = int(self.carry.kf_count)
+            cs = np.asarray(ring.t_cw, np.float64)[:n_kf]
         odo = np.linalg.norm(np.diff(cs, axis=0), axis=1)
         b_ref = float(np.median(odo)) if len(odo) else 1.0
         b = float(np.linalg.norm(cs[cur_kf] - cs[cand_kf]))
@@ -1115,13 +1224,18 @@ class ScanSfM:
             return None, n_tracked
         return rp, n_tracked
 
-    def _drain_edges(self):
-        ring = self.carry.ring
-        n_kf = int(self.carry.kf_count)
-        e_R = np.asarray(ring.e_Rji, np.float64)
-        e_t = np.asarray(ring.e_tji, np.float64)
-        e_inl = np.asarray(ring.e_inl)
-        e_val = np.asarray(ring.e_valid)
+    def _drain_edges(self, drained: dict | None = None):
+        if drained is not None:
+            n_kf = int(drained["counts"][0])
+            e_R, e_t = drained["e_Rji"], drained["e_tji"]
+            e_inl, e_val = drained["e_inl"], drained["e_valid"]
+        else:
+            ring = self.carry.ring
+            n_kf = int(self.carry.kf_count)
+            e_R = np.asarray(ring.e_Rji, np.float64)
+            e_t = np.asarray(ring.e_tji, np.float64)
+            e_inl = np.asarray(ring.e_inl)
+            e_val = np.asarray(ring.e_valid)
         edges = [
             Edge(i=k - 1, j=k, R_ji=e_R[k], t_ji=e_t[k],
                  inliers=int(e_inl[k]), is_loop=False)
@@ -1137,16 +1251,20 @@ class ScanSfM:
 
         pcfg = self.cfg.pose_graph
         ring = self.carry.ring
-        n_kf = int(self.carry.kf_count)
+        K_ = ring.pid.shape[0]
+        pr = _unpack_ring_poses(
+            np.asarray(_ring_pose_stage(self.carry), np.float64), K_)
+        n_kf = pr["n_kf"]
         edges = self._drain_edges()
         if n_kf < 3 or len(edges) < 2:
             return
         Np = _next_pow2(n_kf, lo=8)
         Ep = _next_pow2(len(edges), lo=8)
-        R_cw = np.asarray(ring.R_cw, np.float64)[:n_kf]
-        C = np.asarray(ring.t_cw, np.float64)[:n_kf]
-        R_cw = np.concatenate([R_cw, np.tile(np.eye(3), (Np - n_kf, 1, 1))])
-        C = np.concatenate([C, np.zeros((Np - n_kf, 3))])
+        R_all = pr["R_cw"]
+        C_all = pr["t_cw"]
+        R_cw = np.concatenate(
+            [R_all[:n_kf], np.tile(np.eye(3), (Np - n_kf, 1, 1))])
+        C = np.concatenate([C_all[:n_kf], np.zeros((Np - n_kf, 3))])
         e_i = np.zeros(Ep, np.int32)
         e_j = np.zeros(Ep, np.int32)
         R_meas = np.tile(np.eye(3), (Ep, 1, 1))
@@ -1155,8 +1273,7 @@ class ScanSfM:
         w_rot = np.zeros(Ep)
         w_trans = np.zeros(Ep)
         valid = np.zeros(Ep, bool)
-        R_all = np.asarray(ring.R_cw, np.float64)
-        C_all = np.asarray(ring.t_cw, np.float64)
+        # R_all/C_all come from the packed _ring_pose_stage pull above
         t_full = np.zeros(Ep, bool)
         for k, e in enumerate(edges):
             e_i[k], e_j[k] = e.i, e.j
@@ -1198,8 +1315,8 @@ class ScanSfM:
                 iters=pcfg.iters, lambda0=pcfg.lambda0)
         R_new = np.asarray(R_new, np.float32)[:n_kf]
         C_new = np.asarray(C_new, np.float32)[:n_kf]
-        ring_R = np.asarray(ring.R_cw).copy()
-        ring_t = np.asarray(ring.t_cw).copy()
+        ring_R = R_all.astype(np.float32).copy()
+        ring_t = C_all.astype(np.float32).copy()
         ring_R[:n_kf] = R_new
         ring_t[:n_kf] = C_new
         self.carry = self.carry._replace(
@@ -1216,19 +1333,23 @@ class ScanSfM:
         the host-side keyframe/edge views (export parity with
         models/system.SfMSystem)."""
         self._flush()
-        ring = self.carry.ring
-        n_kf = int(self.carry.kf_count)
-        n_pts = int(self.carry.n_pts)
-        # one bulk drain
-        R_cw = np.asarray(ring.R_cw, np.float64)[:n_kf]
-        t_cw = np.asarray(ring.t_cw, np.float64)[:n_kf]
-        frames = np.asarray(ring.frame)[:n_kf]
-        uv = np.asarray(ring.uv, np.float64)[:n_kf]
-        ids = np.asarray(ring.ids)[:n_kf]
-        tvalid = np.asarray(ring.tvalid)[:n_kf]
-        pid = np.asarray(ring.pid)[:n_kf]
-        desc = np.asarray(ring.desc, np.float64)[:n_kf]
-        X = np.asarray(self.carry.X, np.float64)[:n_pts]
+        c = self.carry
+        K_, T_ = c.ring.pid.shape
+        # ONE packed pull for the whole drain (see _drain_stage)
+        d = _unpack_drain(
+            np.asarray(_drain_stage(c), np.float64),
+            K_, T_, c.ring.desc.shape[1], c.X.shape[0])
+        n_kf = int(d["counts"][0])
+        n_pts = int(d["counts"][1])
+        R_cw = d["R_cw"][:n_kf]
+        t_cw = d["t_cw"][:n_kf]
+        frames = d["frame"][:n_kf]
+        uv = d["uv"][:n_kf]
+        ids = d["ids"][:n_kf]
+        tvalid = d["tvalid"][:n_kf]
+        pid = d["pid"][:n_kf]
+        desc = d["desc"][:n_kf]
+        X = d["X"][:n_pts]
 
         # Final refinement is STRUCTURE-ONLY: after a pose-graph
         # correction the map is triangulated against stale poses, so
@@ -1251,7 +1372,7 @@ class ScanSfM:
                      valid=tvalid[k], desc=desc[k])
             for k in range(n_kf)
         ]
-        self.edges = self._drain_edges()
+        self.edges = self._drain_edges(drained=d)
         self._X = X
         self._ring_pid = pid  # (n_kf, T) observation matrix, for tooling
 
@@ -1288,10 +1409,11 @@ class ScanSfM:
             out[: len(a)] = a
             return jnp.asarray(out)
 
-        X3, za, zb = (np.asarray(v, np.float64)[:n_pts] for v in
-                      triangulate.triangulate_dlt(
-                          pad(R_wc[ka], eye=True), pad(t_wc[ka]), pad(xa),
-                          pad(R_wc[kb], eye=True), pad(t_wc[kb]), pad(xb)))
+        packed = np.asarray(_dlt_packed(
+            pad(R_wc[ka], eye=True), pad(t_wc[ka]), pad(xa),
+            pad(R_wc[kb], eye=True), pad(t_wc[kb]), pad(xb)),
+            np.float64)[:n_pts]  # one pull for (X3, za, zb)
+        X3, za, zb = packed[:, :3], packed[:, 3], packed[:, 4]
         good = ok & (za > 1e-6) & (zb > 1e-6) & np.isfinite(X3).all(-1)
         return np.where(good[:, None], X3, X)
 
