@@ -47,6 +47,11 @@ def parse_args(argv=None):
     ap.add_argument("--mesh-max-edge-px", type=float, default=None)
     ap.add_argument("--metrics-jsonl", type=str, default=None,
                     help="write per-frame metrics as JSON lines")
+    ap.add_argument("--debug-nans", action="store_true",
+                    help="enable jax_debug_nans/jax_debug_infs: any "
+                         "NaN/Inf produced inside a jitted stage raises "
+                         "at the generating primitive (slow; see "
+                         "sfm_tpu/utils/debug.py)")
     ap.add_argument("--pipeline", type=str, default="host",
                     choices=["host", "scan"],
                     help="host = host-driven loop with jitted stages "
@@ -66,6 +71,11 @@ def main(argv=None) -> int:
     from sfm_tpu.models.system import SfMSystem
     from sfm_tpu.utils import artifacts, visuals
     from sfm_tpu.utils.dataset import TempleRing, load_K_yaml
+
+    if args.debug_nans:
+        from sfm_tpu.utils.debug import enable_numeric_checks
+
+        enable_numeric_checks(True)
 
     overrides = {
         k: v

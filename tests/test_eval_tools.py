@@ -1,6 +1,7 @@
 """Native eval tools (cpp/tools): build, run, and agree with the
 in-process JAX implementations (SURVEY §4 artifact-schema contract)."""
 
+import os
 import shutil
 import subprocess
 from pathlib import Path
@@ -13,7 +14,11 @@ from sfm_tpu.ops import lie, umeyama
 from sfm_tpu.utils import artifacts
 
 REPO = Path(__file__).resolve().parents[1]
-BUILD = REPO / "cpp" / "build"
+# SFM_EVAL_SANITIZE=1 routes the whole module through ASan+UBSan
+# instrumented binaries (SURVEY §5 race/memory detection;
+# `make test-eval-asan`) — same tests, error-checked native code.
+SANITIZE = os.environ.get("SFM_EVAL_SANITIZE", "") == "1"
+BUILD = REPO / "cpp" / ("build-asan" if SANITIZE else "build")
 
 
 @pytest.fixture(scope="module")
@@ -22,7 +27,8 @@ def tools():
         pytest.skip("cmake unavailable")
     subprocess.run(
         ["cmake", "-S", str(REPO / "cpp"), "-B", str(BUILD),
-         "-DCMAKE_BUILD_TYPE=Release"],
+         "-DCMAKE_BUILD_TYPE=Release"]
+        + (["-DSFM_EVAL_SANITIZE=ON"] if SANITIZE else []),
         check=True, capture_output=True,
     )
     # always build — incremental no-op when sources are unchanged, and it
