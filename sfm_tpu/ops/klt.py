@@ -75,23 +75,40 @@ def _load_blocks(img, origins, P: int, margin: int):
     extract the column window with a one-hot matmul on the MXU."""
     WIN = P + 2 * margin + 3  # +1 bilinear, +2 gradient shifts
     H, W = img.shape
-    start = jnp.floor(origins) - (margin + 1)
+    # dead/lost slots can carry non-finite positions; NaN survives clip
+    # (clip(NaN)=NaN) and casts to an undefined int32 — sanitize first
+    # so both gather paths stay in bounds (the Pallas kernel's dynamic
+    # VMEM reads fault the TPU worker on out-of-bounds starts)
+    start = jnp.floor(jnp.nan_to_num(origins)) - (margin + 1)
     start = jnp.clip(start, 0.0, jnp.array([W - WIN, H - WIN], origins.dtype))
     starts = start.astype(jnp.int32)
 
     # Pallas fast path for the search-margin blocks (the dominant load):
     # per-track tile-aligned VMEM reads instead of (T,WIN,W) row strips.
     # Template loads (margin=0, narrow strips) stay on the XLA path —
-    # measured slower in the kernel. The kernel's blocks are 8 rows
-    # taller, anchored at the 8-aligned row; _patch absorbs the row
-    # remainder through the float anchor.
+    # measured slower in the kernel. The kernel returns blocks 8 rows
+    # taller, anchored at the 8-ALIGNED row below the request; the
+    # per-track row remainder is barrel-shifted out HERE so this branch
+    # returns bit-identical (blocks, anchors) to the strips path below.
+    # (Round-3 lesson: absorbing the remainder downstream through the
+    # anchor instead shifts the LK sub-window CLAMP bounds by 0..7 rows
+    # per track — marginal tracks then converge to different, fb-gate-
+    # passing flows than the XLA path, and on the 47-frame bench that
+    # deterministically tripled the trajectory ATE.)
     if margin > 0 and WIN <= 128 and H >= WIN and W >= WIN and _use_pallas():
         from sfm_tpu.ops.pallas.block_gather_kernel import load_blocks_pallas
 
         blocks, anchors = load_blocks_pallas(
             img, starts, WIN,
             interpret=jax.default_backend() != "tpu")
-        return blocks, anchors.astype(origins.dtype)
+        d = starts[:, 1] - anchors[:, 1]  # 0..7 row remainder
+        k = 1
+        while k < 8:
+            bit = (d // k) % 2 == 1
+            blocks = jnp.where(bit[:, None, None],
+                               jnp.roll(blocks, -k, axis=1), blocks)
+            k *= 2
+        return blocks[:, :WIN, :], start
 
     row_idx = starts[:, 1:2] + jnp.arange(WIN, dtype=jnp.int32)[None]  # (T,WIN)
     strips = jnp.take(img, row_idx, axis=0)  # (T,WIN,W) row gather

@@ -94,7 +94,15 @@ def load_blocks_pallas(img, starts, WIN: int, TB: int = 256,
     T = starts.shape[0]
     TB = min(TB, max(T, 1))
     T_pad = -(-T // TB) * TB
-    starts = starts.astype(jnp.int32)
+    # hard in-bounds clamp: dead/lost tracks can carry garbage positions
+    # (a NaN float origin casts to INT_MIN on some backends) and the
+    # kernel's dynamic VMEM reads do NOT clamp — an out-of-bounds start
+    # faults the TPU worker process (measured), where the XLA gather
+    # path would have clamped silently. Clamping here keeps the kernel
+    # total for any finite-or-not input; garbage slots return in-bounds
+    # (masked-out) data just like the strips path.
+    starts = jnp.clip(starts.astype(jnp.int32), 0,
+                      jnp.asarray([W - WIN, H - WIN], jnp.int32))
     anchors = jnp.stack(
         [starts[:, 0], (starts[:, 1] // 8) * 8], axis=-1)
     starts_p = jnp.zeros((T_pad, 2), jnp.int32).at[:T].set(anchors)

@@ -82,3 +82,65 @@ def test_lk_level_pallas_loader_matches_xla(rng, monkeypatch):
     monkeypatch.setattr(klt, "_use_pallas", lambda: True)
     v_pal = run()
     np.testing.assert_allclose(v_pal, v_xla, atol=1e-5)
+
+
+def test_block_gather_pallas_garbage_starts_clamped(rng):
+    """Out-of-range starts (as a NaN->int32 cast can produce for dead
+    tracks) must be clamped inside the wrapper: the kernel's dynamic
+    VMEM reads do not clamp, and an OOB start faults the TPU worker on
+    hardware (found by an on-chip probe, round 3). Valid slots must be
+    unaffected; garbage slots must return finite in-bounds data."""
+    from sfm_tpu.ops.pallas.block_gather_kernel import load_blocks_pallas
+
+    H, W, T, WIN = 120, 160, 64, 28
+    img = jnp.asarray(rng.standard_normal((H, W)), jnp.float32)
+    sx = rng.integers(0, W - WIN + 1, T)
+    sy = rng.integers(0, H - WIN + 1, T)
+    starts = np.stack([sx, sy], -1).astype(np.int64)
+    bad = rng.random(T) < 0.5
+    starts[bad] = np.array([-2**31, 2**31 - 1000])
+    blocks, anchors = load_blocks_pallas(
+        img, jnp.asarray(starts, jnp.int32), WIN, TB=32, interpret=True)
+    bn, an = np.asarray(blocks), np.asarray(anchors)
+    imn = np.asarray(img)
+    assert np.isfinite(bn).all()
+    assert (an[:, 0] >= 0).all() and (an[:, 0] <= W - WIN).all()
+    assert (an[:, 1] >= 0).all() and (an[:, 1] <= H - WIN).all()
+    for t in range(T):
+        if bad[t]:
+            continue
+        dy = sy[t] - an[t, 1]
+        np.testing.assert_array_equal(
+            bn[t, dy:dy + WIN],
+            imn[sy[t]:sy[t] + WIN, sx[t]:sx[t] + WIN])
+
+
+def test_lk_track_pallas_path_bit_identical(rng, monkeypatch):
+    """The Pallas block-gather branch of _load_blocks must return
+    bit-identical (blocks, anchors) to the XLA strips path, so the LK
+    flow is EXACTLY the same on either path. (Round 3: the 8-aligned
+    taller pallas blocks shifted the LK sub-window clamp bounds for
+    marginal tracks; self-consistent wrong flows passed the fb-gate and
+    deterministically tripled the 47-frame bench ATE on chip.)"""
+    import jax
+
+    from scipy.ndimage import gaussian_filter
+
+    H, W, T = 120, 160, 257
+    img0 = (gaussian_filter(rng.standard_normal((H, W)), 1.5) * 60
+            + 128).astype(np.float32)
+    dx, dy = 2.3, -1.7
+    img1 = np.roll(np.roll(img0, 2, axis=1), -2, axis=0)
+    pos = rng.uniform([10, 10], [W - 10, H - 10], (T, 2)).astype(np.float32)
+    pyr0 = (jnp.asarray(img0),)
+    pyr1 = (jnp.asarray(img1),)
+    outs = {}
+    for flag in ("0", "1"):
+        monkeypatch.setenv("SFM_TPU_PALLAS", flag)
+        jax.clear_caches()
+        p, ok = klt.lk_track_fb(pyr0, pyr1, jnp.asarray(pos),
+                                jnp.ones(T, bool), levels=1, iters=8,
+                                radius=6, fb_thresh=1.0)
+        outs[flag] = (np.asarray(p), np.asarray(ok))
+    np.testing.assert_array_equal(outs["0"][0], outs["1"][0])
+    np.testing.assert_array_equal(outs["0"][1], outs["1"][1])
