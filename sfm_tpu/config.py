@@ -98,6 +98,13 @@ class LoopConfig:
     # "descriptor": cpp semantics (32x32 global descriptor + LK verify)
     # "orb": python semantics (oriented binary features + ratio matching)
     method: str = "descriptor"
+    # verify candidates INSIDE the device chunk program (descriptor
+    # method only): a cond-gated LK-retrack + PnP in the keyframe branch
+    # keeps chunks autonomous — no per-candidate host round-trips
+    # (~0.1 s each on the relay). Ignored by the host pipeline; forced
+    # off in the vmapped multi-scene runner, where lax.cond becomes a
+    # select and every scene would pay the verification every keyframe.
+    device_verify: bool = True
     min_kf_gap: int = 6
     score_thresh: float = 0.94  # cpp:1831
     min_tracked: int = 120  # cpp:1856

@@ -61,11 +61,16 @@ log = logging.getLogger("sfm_tpu")
 f32 = jnp.float32
 i32 = jnp.int32
 
-# per-frame metrics vector layout (the only per-frame device→host data)
+# per-frame metrics vector layout (the only per-frame device→host data).
+# Y_KFID..Y_LV_T carry the device-verified loop edge (loop.device_verify):
+# Y_LV_OK is 1.0 verified / 0.0 ran-and-rejected / -1.0 not-run.
 Y_FRAME, Y_VALID, Y_KF, Y_OK, Y_INL, Y_PAR, Y_ALIVE, Y_NPTS, \
     Y_LOOP_S, Y_LOOP_K, Y_BA0, Y_BA1, Y_EDGE_INL, Y_SCALE, Y_PNP_INL, \
-    Y_NEW_PTS = range(16)
-NY = 16
+    Y_NEW_PTS, Y_KFID, Y_LV_OK, Y_LV_I, Y_LV_INL, Y_LV_NTR, \
+    Y_LV_SREL = range(22)
+Y_LV_R = 22          # ..30: R_ji row-major
+Y_LV_T = 31          # ..33: t_ji
+NY = 34
 
 
 class KeyframeRing(NamedTuple):
@@ -87,6 +92,9 @@ class KeyframeRing(NamedTuple):
     e_tji: jnp.ndarray     # (K,3)
     e_inl: jnp.ndarray     # (K,)    i32
     e_valid: jnp.ndarray   # (K,)    bool
+    img: jnp.ndarray       # (K,H,W) u8 keyframe grays for device-side
+    #                        loop verification ((K,1,1) dummy when
+    #                        loop.device_verify is off)
 
 
 class ScanCarry(NamedTuple):
@@ -119,8 +127,9 @@ def _orb_score_bank(d_bank, v_bank, d_j, v_j):
     return jax.vmap(one)(d_bank, v_bank)
 
 
-def _empty_ring(K: int, T: int) -> KeyframeRing:
+def _empty_ring(K: int, T: int, H: int = 1, W: int = 1) -> KeyframeRing:
     return KeyframeRing(
+        img=jnp.zeros((K, H, W), jnp.uint8),
         R_cw=jnp.tile(jnp.eye(3, dtype=f32), (K, 1, 1)),
         t_cw=jnp.zeros((K, 3), f32),
         frame=-jnp.ones((K,), i32),
@@ -146,7 +155,9 @@ def bootstrap_carry(cfg: SystemConfig, kf_cap: int, p_cap: int,
     pyr = tuple(jnp.asarray(p) for p in
                 _build_pyr(img0, cfg.klt.pyr_levels))
     trk = tracker.bootstrap(pyr[0], cfg.klt)
-    ring = _empty_ring(kf_cap, T)
+    store_img = cfg.loop.enabled and cfg.loop.device_verify
+    ring = _empty_ring(kf_cap, T,
+                       *(img0.shape if store_img else (1, 1)))
     desc = descriptors.global_desc_32(pyr[0])
     ring = ring._replace(
         frame=ring.frame.at[0].set(idx0.astype(i32)),
@@ -156,6 +167,9 @@ def bootstrap_carry(cfg: SystemConfig, kf_cap: int, p_cap: int,
         tvalid=ring.tvalid.at[0].set(trk.valid),
         desc=ring.desc.at[0].set(desc.astype(f32)),
     )
+    if store_img:
+        ring = ring._replace(
+            img=ring.img.at[0].set(pyr[0].astype(jnp.uint8)))
     return ScanCarry(
         trk=trk,
         prev_pyr=pyr,
@@ -466,6 +480,10 @@ def _keyframe_branch(cfg: SystemConfig, p_ba: int, Kf, args, gt_C=None):
         e_inl=ring.e_inl.at[kf_id].set(rp.num_inliers),
         e_valid=ring.e_valid.at[kf_id].set(True),
     )
+    if cfg.loop.enabled and cfg.loop.device_verify:
+        ring = ring._replace(
+            img=ring.img.at[kf_id].set(
+                carry.prev_pyr[0].astype(jnp.uint8)))
     # --- observation backfill: newly triangulated points get their id
     # written into every earlier ring row where the same track id held
     # slot s (full track history, ref py:935-975) ------------------------
@@ -485,12 +503,93 @@ def _keyframe_branch(cfg: SystemConfig, p_ba: int, Kf, args, gt_C=None):
     ring, X, R_cw_cur, t_cw_cur, ba0, ba1 = _window_ba(
         cfg, p_ba, Kf, ring, X, n_pts, kf_id)
 
-    # --- loop-closure candidate scoring (cpp:1827-1831); verification is
-    # a host-side per-chunk step (it fires rarely) ----------------------
+    # --- loop-closure candidate scoring (cpp:1827-1831) ----------------
     cand = (karange[:, 0] <= kf_id - cfg.loop.min_kf_gap) & ring.kvalid
     scores = jnp.where(cand, ring.desc @ desc, -jnp.inf)
     best_k = jnp.argmax(scores)
     best_s = scores[best_k]
+
+    # --- device-side loop verification (loop.device_verify): the host
+    # round-2/3 flow pulled metrics, gated, then ran _loop_pnp_edge_stage
+    # per candidate (~0.1 s of host traffic each). Here the SAME gates
+    # (score, spatial consistency, mapped-track count) and the SAME
+    # LK-retrack + PnP verification run cond-gated inside the keyframe
+    # branch, at per-keyframe cadence (the reference fires per keyframe,
+    # cpp:1822-1866); the edge rides out in the metrics row. Pose-graph
+    # pushback remains a host step. ------------------------------------
+    lv = jnp.concatenate([-jnp.ones((2,), f32), jnp.zeros((15,), f32)])
+    if cfg.loop.enabled and cfg.loop.device_verify:
+        lcfg = cfg.loop
+        # spatial-consistency pre-gate (twin of the host _check_loops
+        # gate): true revisits are within a few odometry steps; noise-
+        # texture false positives are anywhere on the trajectory
+        kv_prev = ring.kvalid & (karange[:, 0] <= kf_id)
+        Cs = ring.t_cw
+        step_m = kv_prev[1:] & kv_prev[:-1]
+        steps = jnp.linalg.norm(Cs[1:] - Cs[:-1], axis=-1)
+        med = jnp.nan_to_num(
+            jnp.nanmedian(jnp.where(step_m, steps, jnp.nan)), nan=1.0)
+        nv = jnp.maximum(jnp.sum(kv_prev), 1)
+        ctr = jnp.sum(jnp.where(kv_prev[:, None], Cs, 0.0), axis=0) / nv
+        extent = jnp.max(jnp.where(
+            kv_prev, jnp.linalg.norm(Cs - ctr, axis=-1), 0.0))
+        b_cand = jnp.linalg.norm(Cs[kf_id] - Cs[best_k])
+        b_gate = jnp.maximum(5.0 * med, 0.25 * extent)
+        n_mapped_old = jnp.sum(
+            ring.tvalid[best_k] & (ring.pid[best_k] >= 0), dtype=i32)
+        fire = (jnp.isfinite(best_s) & (best_s > lcfg.score_thresh)
+                & (b_cand <= b_gate) & (n_mapped_old >= 30))
+
+        def _lv_verify(_):
+            pyr_old = _build_pyr(ring.img[best_k].astype(f32),
+                                 cfg.klt.pyr_levels)
+            uv_old = ring.uv[best_k]
+            pid_old = ring.pid[best_k]
+            m_old = ring.tvalid[best_k] & (pid_old >= 0)
+            X_old = X[jnp.clip(pid_old, 0, P_CAP - 1)]
+            R_cw_o, C_o = ring.R_cw[best_k], ring.t_cw[best_k]
+            R_wc0, t_wc0 = _wc(R_cw_o, C_o)
+            new_pts, okk = klt.lk_track_fb(
+                pyr_old, carry.prev_pyr, uv_old, m_old,
+                levels=cfg.klt.pyr_levels, iters=cfg.klt.iters,
+                radius=cfg.klt.win_radius, fb_thresh=cfg.klt.fb_thresh)
+            xjv = epipolar.normalize_by_K(Kf, new_pts.astype(f32))
+            use = okk & m_old
+            Rv, tv, vinfo = pnp_ops.refine_pose(
+                R_wc0.astype(f32), t_wc0.astype(f32), X_old.astype(f32),
+                xjv, use, iters=12, huber_delta=cfg.ba.huber_delta / fx)
+            n_tracked = jnp.sum(use, dtype=i32)
+            ok_edge = ((n_tracked >= min(lcfg.min_tracked, 30))
+                       & (vinfo["inliers"] >= lcfg.min_inliers))
+            # pose-graph edge i->j from the metric PnP pose
+            R_ji_l = Rv @ R_cw_o
+            t_ji_l = Rv @ C_o + tv
+            # revealed relative scale (twin of _loop_pnp_edge_stage)
+            d_i = (X_old @ Rv.T + tv)[:, 2]
+            ok_i = m_old & (d_i > 1e-9)
+            pid_j = ring.pid[kf_id]
+            m_j = ring.tvalid[kf_id] & (pid_j >= 0)
+            X_j = X[jnp.clip(pid_j, 0, P_CAP - 1)]
+            d_j = ((X_j - ring.t_cw[kf_id]) @ ring.R_cw[kf_id])[:, 2]
+            ok_j = m_j & (d_j > 1e-9)
+            med_i = jnp.nanmedian(jnp.where(ok_i, d_i, jnp.nan))
+            med_j = jnp.nanmedian(jnp.where(ok_j, d_j, jnp.nan))
+            s_ok = ((jnp.sum(ok_i) >= 20) & (jnp.sum(ok_j) >= 20)
+                    & (med_i > 1e-12))
+            s_rel = jnp.nan_to_num(jnp.where(
+                s_ok, med_j / jnp.maximum(med_i, 1e-12), 1.0), nan=1.0)
+            return jnp.concatenate([
+                jnp.stack([ok_edge.astype(f32), best_k.astype(f32),
+                           vinfo["inliers"].astype(f32),
+                           n_tracked.astype(f32), s_rel.astype(f32)]),
+                R_ji_l.reshape(9).astype(f32), t_ji_l.astype(f32),
+            ])
+
+        lv = jax.lax.cond(
+            fire, _lv_verify,
+            lambda _: jnp.concatenate(
+                [-jnp.ones((2,), f32), jnp.zeros((15,), f32)]),
+            None)
 
     carry = carry._replace(
         R_cw=R_cw_cur, t_cw=t_cw_cur,
@@ -499,27 +598,39 @@ def _keyframe_branch(cfg: SystemConfig, p_ba: int, Kf, args, gt_C=None):
         slot_pid=slot_pid, fo_kf=fo_kf, fo_uv=fo_uv,
         ring=ring, X=X, n_pts=n_pts,
     )
-    ykf = jnp.stack([
-        jnp.float32(1.0),
-        jnp.where(jnp.isfinite(best_s), best_s, -1.0).astype(f32),
-        best_k.astype(f32),
-        ba0.astype(f32), ba1.astype(f32),
-        rp.num_inliers.astype(f32),
-        s_map.astype(f32),
-        pnp_info["inliers"].astype(f32),
-        jnp.sum(ok_new).astype(f32),
+    ykf = jnp.concatenate([
+        jnp.stack([
+            jnp.float32(1.0),
+            jnp.where(jnp.isfinite(best_s), best_s, -1.0).astype(f32),
+            best_k.astype(f32),
+            ba0.astype(f32), ba1.astype(f32),
+            rp.num_inliers.astype(f32),
+            s_map.astype(f32),
+            pnp_info["inliers"].astype(f32),
+            jnp.sum(ok_new).astype(f32),
+            kf_id.astype(f32),
+        ]),
+        lv,
     ])
     return carry, ykf
+
+
+def ykf_none() -> jnp.ndarray:
+    """The keyframe-branch metrics vector for a non-keyframe: kf flag 0,
+    loop score/candidate -1, zeros, kf_id -1, not-run loop-verify pack."""
+    return jnp.concatenate([
+        jnp.zeros((1,), f32),
+        jnp.array([-1.0, -1.0], f32),
+        jnp.zeros((6,), f32),
+        jnp.array([-1.0], f32),          # kf_id
+        jnp.array([-1.0, -1.0], f32),    # lv ok / candidate
+        jnp.zeros((15,), f32),
+    ])
 
 
 def _no_kf_branch(cfg, p_ba, Kf, args):
     carry, idx, k_edge = args
-    ykf = jnp.concatenate([
-        jnp.zeros((1,), f32),
-        jnp.array([-1.0, -1.0], f32),
-        jnp.zeros((6,), f32),
-    ])
-    return carry, ykf
+    return carry, ykf_none()
 
 
 @partial(jax.jit, static_argnames=("cfg", "p_ba"),
@@ -629,6 +740,8 @@ def _pack_frame_metrics(carry: ScanCarry, idx, y_pre, ykf):
         ykf[6:7],          # propagated scale
         ykf[7:8],          # PnP inliers
         ykf[8:9],          # newly triangulated points
+        ykf[9:10],         # kf_id
+        ykf[10:],          # device loop-verify pack (Y_LV_*)
     ])
 
 
@@ -975,6 +1088,9 @@ class ScanSfM:
         if lcfg.method == "orb":
             self._check_loops_orb(ys)
             return
+        if lcfg.device_verify:
+            self._collect_device_loops(ys)
+            return
         rows = ys[(ys[:, Y_VALID] > 0.5) & (ys[:, Y_KF] > 0.5)
                   & (ys[:, Y_LOOP_S] > lcfg.score_thresh)]
         if len(rows) == 0:
@@ -1036,6 +1152,59 @@ class ScanSfM:
                      cur_kf, edge.inliers)
         if found:
             self._pose_graph_pushback()
+
+    def _collect_device_loops(self, ys: np.ndarray) -> None:
+        """Drain loop edges verified INSIDE the chunk program
+        (loop.device_verify): the gates and the LK+PnP verification ran
+        per keyframe in ``_keyframe_branch``; here the host only builds
+        ``Edge`` objects from the already-pulled metrics rows and runs
+        the pose-graph pushback if anything was found. No per-candidate
+        device traffic at all. The <30-mapped-obs E-RANSAC fallback of
+        ``_verify_loop`` is not replicated device-side (an old keyframe
+        with fewer than 30 mapped tracks is a degenerate map segment);
+        such candidates are logged and skipped."""
+        lcfg = self.cfg.loop
+        lw = self.cfg.pose_graph.loop_weight
+        rows = ys[(ys[:, Y_VALID] > 0.5) & (ys[:, Y_KF] > 0.5)]
+        hits = []
+        for row in rows:
+            if (row[Y_LOOP_S] > lcfg.score_thresh
+                    and row[Y_LV_OK] < -0.5 and row[Y_LOOP_K] >= 0):
+                log.debug("loop candidate %d->%d not verified on device "
+                          "(gate fail or <30 mapped obs)",
+                          int(row[Y_LOOP_K]), int(row[Y_KFID]))
+            if row[Y_LV_OK] > 0.5:
+                hits.append(row)
+        if not hits:
+            return
+        # one packed pose pull for the dir-mode translation weight
+        K_ = self.carry.ring.pid.shape[0]
+        rp = _unpack_ring_poses(
+            np.asarray(_ring_pose_stage(self.carry), np.float64), K_)
+        cs = rp["t_cw"][: rp["n_kf"]]
+        odo = np.linalg.norm(np.diff(cs, axis=0), axis=1)
+        b_ref = float(np.median(odo)) if len(odo) else 1.0
+        for row in hits:
+            i, j = int(row[Y_LV_I]), int(row[Y_KFID])
+            R_ji = np.asarray(row[Y_LV_R:Y_LV_R + 9],
+                              np.float64).reshape(3, 3)
+            t_ji = np.asarray(row[Y_LV_T:Y_LV_T + 3], np.float64)
+            w_tr = lw
+            if self.cfg.translation_mode != TranslationMode.FULL:
+                b = float(np.linalg.norm(t_ji))
+                w_tr = lw * min(1.0, b / max(b_ref, 1e-12))
+            self.loop_edges.append(Edge(
+                i=i, j=j, R_ji=R_ji, t_ji=t_ji,
+                inliers=int(row[Y_LV_INL]), is_loop=True,
+                w_rot=lw, w_trans=w_tr, s_rel=float(row[Y_LV_SREL])))
+            for met in reversed(self.metrics):
+                if met.get("frame") == int(row[Y_FRAME]):
+                    met["loop"] = (i, j)
+                    break
+            log.info("loop closure (device) %d -> %d (inliers %d, "
+                     "tracked %d)", i, j, int(row[Y_LV_INL]),
+                     int(row[Y_LV_NTR]))
+        self._pose_graph_pushback()
 
     def _orb_for(self, kf_id: int, img) -> None:
         """Compute + cache ORB features for keyframe ``kf_id`` and write

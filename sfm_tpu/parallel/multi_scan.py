@@ -77,11 +77,7 @@ def _run_chunk_scenes_gated(cfg: SystemConfig, p_ba: int, Kf, carry,
             carry, make_kf, keys, rps, y_pre = jax.vmap(
                 lambda c, im: sp._track_and_pose_rp(cfg, Kf, c, im, idx)
             )(carry, img_s)
-            ykf_none = jnp.tile(jnp.concatenate([
-                jnp.zeros((1,), jnp.float32),
-                jnp.array([-1.0, -1.0], jnp.float32),
-                jnp.zeros((6,), jnp.float32),
-            ]), (S, 1))
+            ykf_none = jnp.tile(sp.ykf_none(), (S, 1))
 
             def kf_any(args):
                 c, ks, rp = args
@@ -167,6 +163,14 @@ def run_scenes_scan(datasets, cfg: SystemConfig, frames: int | None = None,
     ``ScanSfM.kfs``).
     """
     S = len(datasets)
+    # force host-side loop verification: under vmap the device-verify
+    # lax.cond becomes a select, and every scene would pay the full
+    # LK+PnP verification on every keyframe (see LoopConfig.device_verify)
+    if cfg.loop.enabled and cfg.loop.device_verify:
+        import dataclasses as _dc
+
+        cfg = _dc.replace(
+            cfg, loop=_dc.replace(cfg.loop, device_verify=False))
     n = frames or min(len(d) for d in datasets)
     if images is None:
         images = [[d.load_gray(i) for i in range(n)] for d in datasets]

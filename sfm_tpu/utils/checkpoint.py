@@ -228,8 +228,29 @@ def load_scan_checkpoint(scan, path: str | Path) -> None:
     trk = tracker.TrackerState(
         **{f: jnp.asarray(z[f"trk_{f}"]) for f in tracker.TrackerState._fields}
     )
+    def _ring_field(f):
+        if f"ring_{f}" in z:
+            return jnp.asarray(z[f"ring_{f}"])
+        # pre-round-3 checkpoints lack the keyframe-image store
+        # (loop.device_verify). Rebuild it from the checkpoint's
+        # keyframe-image array when the restored config wants it, else
+        # the (K,1,1) dummy.
+        assert f == "img"
+        K_ = z["ring_frame"].shape[0]
+        lcfg = scan.cfg.loop
+        if not (lcfg.enabled and lcfg.device_verify
+                and "images" in z):
+            return jnp.zeros((K_, 1, 1), jnp.uint8)
+        imgs = np.zeros((K_, *z["images"].shape[1:]), np.uint8)
+        frame_to_img = {int(fr): k for k, fr
+                        in enumerate(z["image_frames"])}
+        for k, fr in enumerate(z["ring_frame"]):
+            if int(fr) in frame_to_img:
+                imgs[k] = z["images"][frame_to_img[int(fr)]]
+        return jnp.asarray(imgs)
+
     ring = KeyframeRing(
-        **{f: jnp.asarray(z[f"ring_{f}"]) for f in KeyframeRing._fields}
+        **{f: _ring_field(f) for f in KeyframeRing._fields}
     )
     pyr = tuple(jnp.asarray(z[f"pyr{i}"]) for i in range(meta["levels"]))
     scan.carry = ScanCarry(
