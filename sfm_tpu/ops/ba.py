@@ -208,6 +208,181 @@ def _solve_schur(Hcc, bc, Hpp, bp, W, point_valid, lam, n_fix: int):
     return dx, dX
 
 
+def _linearize_soa(p: BAProblem, huber_delta):
+    """Structure-of-arrays linearization for WINDOW-sized problems.
+
+    The tensor form (`_linearize`) spends its time in (M,2,6)/(M,6,6)
+    tiny-matrix intermediates (each padded to (8,128) vector tiles — the
+    same layout trap the closed-form DLT rewrite removed, ops/
+    triangulate.py) and in F+1 separate one-hot reduction matmuls whose
+    18-lane operands use 1/7 of the MXU width. Here every per-obs
+    quantity is an (M,) lane-packed scalar, and ALL reductions ride TWO
+    matmuls with packed lanes:
+
+      camera side  (F,M) @ (M,27)    21 Hcc-triangle + 6 bc lanes
+      point side   (P,M) @ (M,9+18F) 6 Hpp-triangle + 3 bp + F*18 W
+                                     (117 lanes at the window's F=6 —
+                                      one tile, vs 7 under-packed
+                                      matmuls before)
+
+    Returns (Hcc (F,6,6), bc (F,6), ApT (9+18F,P)) where ApT rows are
+    the point-side sums in SoA: [Hpp 00,01,02,11,12,22 | bp x,y,z |
+    W[f,a,k] at row 9 + f*18 + a*3 + k].
+    """
+    F = p.R_wc.shape[0]
+    P = p.X.shape[0]
+    dtype = p.X.dtype
+    cam, pid = p.cam_idx, p.pid_idx
+
+    Rg = p.R_wc[cam]                       # (M,3,3) gather, sliced below
+    tg = p.t_wc[cam]
+    Xg = p.X[pid]
+    r_ = [[Rg[:, i, j] for j in range(3)] for i in range(3)]
+    Xc = [r_[i][0] * Xg[:, 0] + r_[i][1] * Xg[:, 1]
+          + r_[i][2] * Xg[:, 2] + tg[:, i] for i in range(3)]
+    z = jnp.where(jnp.abs(Xc[2]) < 1e-6, 1e-6, Xc[2])
+    iz = 1.0 / z
+    u = Xc[0] * iz
+    v = Xc[1] * iz
+    rx = u - p.obs[:, 0]
+    ry = v - p.obs[:, 1]
+    n = jnp.sqrt(rx * rx + ry * ry)
+    w = jnp.sqrt(jnp.minimum(1.0, huber_delta / jnp.maximum(n, 1e-12)))
+    w = jnp.where(n > _CUTOFF * huber_delta, 0.0, w)
+    z_ok = p.obs_valid & (Xc[2] > 1e-6)
+    w = w * (z_ok & p.point_valid[pid]).astype(dtype)
+
+    # Jc rows (pose tangent [w|t], left-mult SE(3) — same algebra as
+    # _linearize's -Jproj·hat(Xc) | Jproj, expanded to scalars)
+    one = jnp.ones_like(u)
+    Jc0 = [-u * v, 1.0 + u * u, -v, iz, 0.0 * one, -u * iz]
+    Jc1 = [-(1.0 + v * v), u * v, u, 0.0 * one, iz, -v * iz]
+    # Jp rows: Jproj @ R_wc  ->  iz*(r0k - u*r2k), iz*(r1k - v*r2k)
+    Jp0 = [iz * (r_[0][k] - u * r_[2][k]) for k in range(3)]
+    Jp1 = [iz * (r_[1][k] - v * r_[2][k]) for k in range(3)]
+    Jc0 = [a * w for a in Jc0]
+    Jc1 = [a * w for a in Jc1]
+    Jp0 = [a * w for a in Jp0]
+    Jp1 = [a * w for a in Jp1]
+    rwx = rx * w
+    rwy = ry * w
+
+    iu6 = [(a, b) for a in range(6) for b in range(a, 6)]   # 21
+    iu3 = [(0, 0), (0, 1), (0, 2), (1, 1), (1, 2), (2, 2)]  # 6
+    cam_rows = (
+        [Jc0[a] * Jc0[b] + Jc1[a] * Jc1[b] for a, b in iu6]
+        + [Jc0[a] * rwx + Jc1[a] * rwy for a in range(6)]
+    )
+    W18 = [Jc0[a] * Jp0[k] + Jc1[a] * Jp1[k]
+           for a in range(6) for k in range(3)]
+    oc_f = [(cam == f).astype(dtype) for f in range(F)]
+    pt_rows = (
+        [Jp0[a] * Jp0[b] + Jp1[a] * Jp1[b] for a, b in iu3]
+        + [Jp0[a] * rwx + Jp1[a] * rwy for a in range(3)]
+        + [wab * of for of in oc_f for wab in W18]
+    )
+    # stack on axis 0 (cheap row concat; axis=-1 would interleave every
+    # scalar across lanes) and keep the matmul outputs ROW-major SoA
+    Vc = jnp.stack(cam_rows)               # (27,M)
+    Vp = jnp.stack(pt_rows)                # (9+18F,M)
+    ocT = (cam[:, None] == jax.lax.broadcasted_iota(
+        jnp.int32, (1, F), 1)).astype(dtype)   # (M,F)
+    opT = (pid[:, None] == jax.lax.broadcasted_iota(
+        jnp.int32, (1, P), 1)).astype(dtype)   # (M,P)
+    # (a HIGH-precision variant of these reductions measured no faster
+    # on chip — the relay timing noise exceeds the 3-vs-6-pass delta at
+    # this size — so they stay on the package-wide HIGHEST default)
+    AcT = Vc @ ocT                         # (27,F)
+    ApT = Vp @ opT                         # (9+18F,P) — SoA rows
+
+    Hcc = jnp.zeros((F, 6, 6), dtype)
+    for li, (a, b) in enumerate(iu6):
+        Hcc = Hcc.at[:, a, b].set(AcT[li])
+        if a != b:
+            Hcc = Hcc.at[:, b, a].set(AcT[li])
+    bc = AcT[21:27].T                      # (F,6)
+    return Hcc, bc, ApT
+
+
+def _solve_schur_soa(Hcc, bc, ApT, point_valid, lam, n_fix: int):
+    """Schur elimination in SoA form (twin of `_solve_schur`; see
+    `_linearize_soa`). ``ApT`` is the (9+18F,P) row-major point-side
+    reduction: rows 0..5 Hpp triangle, 6..8 bp, then W[f,a,k] at row
+    9 + f*18 + a*3 + k. The (P,3,3) inverse is the closed-form adjugate
+    on (P,) scalars; T = W·Hpp⁻¹ is unrolled fused multiply-adds; the
+    only dense contractions are two MXU matmuls (6F,3P)@(3P,6F) and the
+    (6F,6F) reduced Cholesky."""
+    F = Hcc.shape[0]
+    P = ApT.shape[1]
+    dtype = Hcc.dtype
+    h = [ApT[i] for i in range(6)]         # 00,01,02,11,12,22
+    bp3 = ApT[6:9]                         # (3,P)
+    dmax = jnp.maximum(jnp.maximum(h[0], h[3]), h[5])
+    damp = lam * jnp.maximum(dmax, 1e-6) + 1e-9
+    pv = point_valid
+    m00 = jnp.where(pv, h[0] + damp, 1.0)
+    m01 = jnp.where(pv, h[1], 0.0)
+    m02 = jnp.where(pv, h[2], 0.0)
+    m11 = jnp.where(pv, h[3] + damp, 1.0)
+    m12 = jnp.where(pv, h[4], 0.0)
+    m22 = jnp.where(pv, h[5] + damp, 1.0)
+    c00 = m11 * m22 - m12 * m12
+    c01 = m02 * m12 - m01 * m22
+    c02 = m01 * m12 - m02 * m11
+    c11 = m00 * m22 - m02 * m02
+    c12 = m01 * m02 - m00 * m12
+    c22 = m00 * m11 - m01 * m01
+    det = m00 * c00 + m01 * c01 + m02 * c02
+    det = jnp.where(jnp.abs(det) < 1e-30, 1e-30, det)
+    idet = jnp.where(pv, 1.0 / det, 0.0)
+    Hi = [[c00 * idet, c01 * idet, c02 * idet],
+          [c01 * idet, c11 * idet, c12 * idet],
+          [c02 * idet, c12 * idet, c22 * idet]]
+
+    def Wfak(f, a, k):
+        return ApT[9 + f * 18 + a * 3 + k]
+
+    # T[f,a,k] = sum_j W[f,a,j] Hi[j,k]  — 54F fused (P,) multiply-adds
+    A_rows = []   # A2[(f*6+a)*3+k] = T[f,a,k]
+    B_rows = []   # B2[(f*6+a)*3+k] = W[f,a,k]
+    for f in range(F):
+        for a in range(6):
+            for k in range(3):
+                A_rows.append(Wfak(f, a, 0) * Hi[0][k]
+                              + Wfak(f, a, 1) * Hi[1][k]
+                              + Wfak(f, a, 2) * Hi[2][k])
+                B_rows.append(Wfak(f, a, k))
+    # rows ordered ((f,a),k): reshape (18F,P)->(6F,3P) keeps (k,p)
+    # adjacent, so ONE matmul contracts both k and p
+    A2 = jnp.stack(A_rows).reshape(6 * F, 3 * P)
+    B2 = jnp.stack(B_rows).reshape(6 * F, 3 * P)
+    S_off = A2 @ B2.T                      # (6F,6F)
+    S = -S_off
+    idx = jnp.arange(F)
+    Sf = S.reshape(F, 6, F, 6)
+    Sf = Sf.at[idx, :, idx, :].add(Hcc)
+    Sf = Sf.reshape(6 * F, 6 * F)
+    b = bc.reshape(6 * F) - A2 @ bp3.reshape(3 * P)
+    dS = jnp.diag(Sf)
+    prior = jnp.where(dS <= 0.0, 1.0, 0.0)
+    Sf = Sf + jnp.diag(lam * jnp.maximum(dS, 1e-6) + 1e-9 + prior)
+    kfix = 6 * n_fix
+    dx_red = linalg.solve_psd(Sf[kfix:, kfix:], -b[kfix:], jitter=1e-12)
+    dx = jnp.concatenate([jnp.zeros(kfix, dtype), dx_red]).reshape(F, 6)
+
+    # back-substitute: rhs_k = -bp_k - sum_{f,a} W[f,a,k] dx[f,a]
+    rhs = [-bp3[k] for k in range(3)]
+    for f in range(F):
+        for a in range(6):
+            d = dx[f, a]
+            for k in range(3):
+                rhs[k] = rhs[k] - Wfak(f, a, k) * d
+    dX = jnp.stack(
+        [Hi[k][0] * rhs[0] + Hi[k][1] * rhs[1] + Hi[k][2] * rhs[2]
+         for k in range(3)], axis=-1)
+    return dx, dX
+
+
 @partial(jax.jit, static_argnames=("iters",))
 def refine_points(p: BAProblem, iters: int = 5, lambda0: float = 1e-3,
                   huber_delta: float = 2e-3):
@@ -282,11 +457,23 @@ def bundle_adjust(
     """Run ``iters`` LM steps with accept/reject. Returns
     (R_wc, t_wc, X, info dict)."""
 
+    F = p.R_wc.shape[0]
+    P = p.X.shape[0]
+    # SoA fast path for window-sized problems (same threshold as the
+    # one-hot assembly in _linearize); tensor + segment_sum otherwise
+    soa = F * P <= 8192
+
     def lm_step(carry, _):
         R_wc, t_wc, X, lam, cost = carry
         cur = p._replace(R_wc=R_wc, t_wc=t_wc, X=X)
-        Hcc, bc, Hpp, bp, W = _linearize(cur, huber_delta)
-        dx, dX = _solve_schur(Hcc, bc, Hpp, bp, W, p.point_valid, lam, n_fix)
+        if soa:
+            Hcc, bc, ApT = _linearize_soa(cur, huber_delta)
+            dx, dX = _solve_schur_soa(Hcc, bc, ApT,
+                                      p.point_valid, lam, n_fix)
+        else:
+            Hcc, bc, Hpp, bp, W = _linearize(cur, huber_delta)
+            dx, dX = _solve_schur(Hcc, bc, Hpp, bp, W, p.point_valid,
+                                  lam, n_fix)
         # trial update: left-mult SE(3) on poses (ref cpp:1081-1095)
         dR = lie.so3_exp(dx[:, :3])
         R_try = dR @ R_wc
