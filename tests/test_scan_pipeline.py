@@ -93,10 +93,15 @@ def out_and_back_ds(tmp_path_factory):
     return TempleRing.from_dir(out)
 
 
-def test_scan_loop_closure_and_pose_graph(out_and_back_ds):
-    """Out-and-back revisit: the per-chunk loop check must verify a loop
-    edge, run the pose graph, and push poses back into the device carry
-    (ref cpp:1822-1866 fire-on-revisit semantics at chunk granularity)."""
+@pytest.mark.parametrize("device_verify", [True, False],
+                         ids=["device", "host"])
+def test_scan_loop_closure_and_pose_graph(out_and_back_ds, device_verify):
+    """Out-and-back revisit: the loop check must verify a loop edge, run
+    the pose graph, and push poses back into the device carry (ref
+    cpp:1822-1866 fire-on-revisit semantics). Parametrized over BOTH
+    verification paths — in-chunk device verification (the round-3
+    default, per-keyframe cadence) and the host per-chunk path (used by
+    the vmapped multi-scene runner and the ORB flavor)."""
     from sfm_tpu.models.scan_pipeline import ScanSfM
     from sfm_tpu.config import PoseGraphConfig
 
@@ -107,7 +112,8 @@ def test_scan_loop_closure_and_pose_graph(out_and_back_ds):
         frames=n,
         loop=LoopConfig(enabled=True, min_kf_gap=8, score_thresh=0.94,
                         min_tracked=120, ransac_iters=1024,
-                        ransac_thresh=2e-5, min_inliers=80),
+                        ransac_thresh=2e-5, min_inliers=80,
+                        device_verify=device_verify),
         pose_graph=PoseGraphConfig(mode="se3", iters=10),
     )
     s = ScanSfM(ds.K, cfg, n_frames=n, chunk=8, p_cap=4096, p_ba=256)
