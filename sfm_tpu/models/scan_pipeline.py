@@ -892,13 +892,16 @@ def _drain_stage(carry: ScanCarry):
 
 @jax.jit
 def _ring_pose_stage(carry: ScanCarry):
-    """Packed pull of the ring poses + bookkeeping used by the host
-    between chunks (loop gating, pose-graph assembly): one pull instead
-    of 4-5 separate np.asarray conversions."""
+    """Packed pull of the ring poses + odometry edges + bookkeeping used
+    by the host between chunks (loop gating, pose-graph assembly): one
+    pull instead of 8-9 separate np.asarray conversions (~30 ms each on
+    the relay)."""
     ring = carry.ring
     return jnp.concatenate([
         ring.R_cw.ravel(), ring.t_cw.ravel(),
         ring.frame.astype(f32), ring.kvalid.astype(f32),
+        ring.e_Rji.ravel(), ring.e_tji.ravel(),
+        ring.e_inl.astype(f32), ring.e_valid.astype(f32),
         carry.kf_count.astype(f32)[None],
     ])
 
@@ -909,7 +912,11 @@ def _unpack_ring_poses(flat: np.ndarray, K: int) -> dict:
         "t_cw": flat[K * 9 : K * 12].reshape(K, 3),
         "frame": flat[K * 12 : K * 13].astype(np.int64),
         "kvalid": flat[K * 13 : K * 14] > 0.5,
-        "n_kf": int(flat[K * 14]),
+        "e_Rji": flat[K * 14 : K * 23].reshape(K, 3, 3),
+        "e_tji": flat[K * 23 : K * 26].reshape(K, 3),
+        "e_inl": flat[K * 26 : K * 27].astype(np.int64),
+        "e_valid": flat[K * 27 : K * 28] > 0.5,
+        "n_kf": int(flat[K * 28]),
     }
     return out
 
@@ -1394,8 +1401,12 @@ class ScanSfM:
         return rp, n_tracked
 
     def _drain_edges(self, drained: dict | None = None):
+        """Odometry edges from a packed drain: `drained` is either the
+        full `_unpack_drain` dict or a `_unpack_ring_poses` dict (both
+        carry the e_* fields — no separate per-field pulls)."""
         if drained is not None:
-            n_kf = int(drained["counts"][0])
+            n_kf = int(drained["counts"][0]) if "counts" in drained \
+                else drained["n_kf"]
             e_R, e_t = drained["e_Rji"], drained["e_tji"]
             e_inl, e_val = drained["e_inl"], drained["e_valid"]
         else:
@@ -1424,7 +1435,7 @@ class ScanSfM:
         pr = _unpack_ring_poses(
             np.asarray(_ring_pose_stage(self.carry), np.float64), K_)
         n_kf = pr["n_kf"]
-        edges = self._drain_edges()
+        edges = self._drain_edges(drained=pr)
         if n_kf < 3 or len(edges) < 2:
             return
         Np = _next_pow2(n_kf, lo=8)
