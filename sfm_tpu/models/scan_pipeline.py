@@ -1082,6 +1082,60 @@ class ScanSfM:
         self._check_loops(ys)
 
     # -- loop closure + pose graph (between chunks) ---------------------
+    @staticmethod
+    def gate_loop_candidates(ys: np.ndarray, rp: dict,
+                             lcfg) -> list[tuple[int, int, int]]:
+        """Host-side (numpy-only) candidate gate: from the chunk's pulled
+        metrics rows and an unpacked ring-pose dict, return the top-k
+        ``(cand_kf, cur_kf, cur_frame)`` pairs worth a device
+        verification. Pure host math — callers (single-scene
+        ``_check_loops``, multiscene ``run_scenes_scan``) can gate many
+        scenes from one batched pose pull before paying any per-scene
+        device traffic.
+
+        Gates, in order: descriptor score threshold; top-k by score (the
+        32x32 descriptor's margin between a true revisit and texture
+        noise can be thin — docs/BENCHMARKS.md — so gating on a single
+        best-of-chunk row can starve the true loop behind a false
+        candidate); dedup of repeated (cand, cur) pairs; and a
+        spatial-consistency pre-gate — a true revisit's estimated centers
+        are close (odometry drift is a small fraction of the trajectory)
+        while descriptor false positives land anywhere on the ring, and
+        skipping far-apart candidates saves a ~300 ms device verification
+        each (measured: ~10 false verifications per bench run without
+        it)."""
+        rows = ys[(ys[:, Y_VALID] > 0.5) & (ys[:, Y_KF] > 0.5)
+                  & (ys[:, Y_LOOP_S] > lcfg.score_thresh)]
+        if len(rows) == 0:
+            return []
+        order = np.argsort(-rows[:, Y_LOOP_S])[: max(lcfg.top_k, 1)]
+        frames = rp["frame"]
+        kvalid = rp["kvalid"]
+        n_kf = rp["n_kf"]
+        cs = rp["t_cw"][:n_kf]
+        odo = np.linalg.norm(np.diff(cs, axis=0), axis=1)
+        extent = float(np.linalg.norm(cs - cs.mean(0), axis=1).max()) \
+            if n_kf else 0.0
+        b_gate = max(5.0 * (float(np.median(odo)) if len(odo) else 1.0),
+                     0.25 * extent)
+        tried: set[tuple[int, int]] = set()
+        cands: list[tuple[int, int, int]] = []
+        for row in rows[order]:
+            cand_kf = int(row[Y_LOOP_K])
+            cur_frame = int(row[Y_FRAME])
+            cur_kf_arr = np.nonzero(kvalid & (frames == cur_frame))[0]
+            if len(cur_kf_arr) == 0 or not kvalid[cand_kf]:
+                continue
+            cur_kf = int(cur_kf_arr[0])
+            if (cand_kf, cur_kf) in tried:
+                continue
+            tried.add((cand_kf, cur_kf))
+            if (cand_kf < n_kf and cur_kf < n_kf
+                    and np.linalg.norm(cs[cur_kf] - cs[cand_kf]) > b_gate):
+                continue
+            cands.append((cand_kf, cur_kf, cur_frame))
+        return cands
+
     def _check_loops(self, ys: np.ndarray) -> None:
         """Verify the best above-threshold loop candidate of the chunk
         (ref cpp:1833-1859: re-detect + LK re-track + E-RANSAC gate),
@@ -1098,49 +1152,25 @@ class ScanSfM:
         if lcfg.device_verify:
             self._collect_device_loops(ys)
             return
-        rows = ys[(ys[:, Y_VALID] > 0.5) & (ys[:, Y_KF] > 0.5)
-                  & (ys[:, Y_LOOP_S] > lcfg.score_thresh)]
-        if len(rows) == 0:
-            return
-        # verify the chunk's top-k candidates, best score first: the 32²
-        # descriptor's score margin between a true revisit and texture
-        # noise can be thin (docs/BENCHMARKS.md), so gating on a single
-        # best-of-chunk row can starve the true loop behind a false
-        # candidate — the PnP verification rejects false ones reliably
-        # and is one cheap device call each
-        order = np.argsort(-rows[:, Y_LOOP_S])[: max(lcfg.top_k, 1)]
         K_ = self.carry.ring.pid.shape[0]
         rp = _unpack_ring_poses(
             np.asarray(_ring_pose_stage(self.carry), np.float64), K_)
+        cands = self.gate_loop_candidates(ys, rp, lcfg)
+        if not cands:
+            return
+        if self._verify_candidates(cands, rp):
+            self._pose_graph_pushback()
+
+    def _verify_candidates(self, cands: list[tuple[int, int, int]],
+                           rp: dict) -> bool:
+        """Run the LK+PnP device verification on already-gated
+        ``(cand_kf, cur_kf, cur_frame)`` pairs, appending surviving
+        ``Edge``s. Returns True if any edge was added (caller runs the
+        pose-graph pushback)."""
+        cs = rp["t_cw"][: rp["n_kf"]]
         frames = rp["frame"]
-        kvalid = rp["kvalid"]
-        # spatial-consistency pre-gate (free, host-side): a true revisit's
-        # estimated centers are close — odometry drift is a small fraction
-        # of the trajectory — while descriptor false positives on noise
-        # texture are anywhere on the ring. Skipping far-apart candidates
-        # saves a ~300 ms device verification each (measured: ~10 false
-        # verifications per bench run without the gate).
-        n_kf = rp["n_kf"]
-        cs = rp["t_cw"][:n_kf]
-        odo = np.linalg.norm(np.diff(cs, axis=0), axis=1)
-        extent = float(np.linalg.norm(cs - cs.mean(0), axis=1).max())
-        b_gate = max(5.0 * (float(np.median(odo)) if len(odo) else 1.0),
-                     0.25 * extent)
-        tried: set[tuple[int, int]] = set()
         found = False
-        for row in rows[order]:
-            cand_kf = int(row[Y_LOOP_K])
-            cur_frame = int(row[Y_FRAME])
-            cur_kf_arr = np.nonzero(kvalid & (frames == cur_frame))[0]
-            if len(cur_kf_arr) == 0 or not kvalid[cand_kf]:
-                continue
-            cur_kf = int(cur_kf_arr[0])
-            if (cand_kf, cur_kf) in tried:
-                continue
-            tried.add((cand_kf, cur_kf))
-            if (cand_kf < n_kf and cur_kf < n_kf
-                    and np.linalg.norm(cs[cur_kf] - cs[cand_kf]) > b_gate):
-                continue
+        for cand_kf, cur_kf, cur_frame in cands:
             old_img = self._images.get(int(frames[cand_kf]))
             new_img = self._images.get(cur_frame)
             if old_img is None or new_img is None:
@@ -1157,8 +1187,7 @@ class ScanSfM:
                     break
             log.info("loop closure %d -> %d (inliers %d)", cand_kf,
                      cur_kf, edge.inliers)
-        if found:
-            self._pose_graph_pushback()
+        return found
 
     def _collect_device_loops(self, ys: np.ndarray) -> None:
         """Drain loop edges verified INSIDE the chunk program
@@ -1508,17 +1537,30 @@ class ScanSfM:
         self._pg_ran = True
 
     # -- finalize + export ---------------------------------------------
-    def finalize(self) -> None:
+    def finalize(self, drained: dict | None = None) -> None:
         """Flush, drain the device state, run the global BA, and build
         the host-side keyframe/edge views (export parity with
-        models/system.SfMSystem)."""
+        models/system.SfMSystem).
+
+        ``drained``: optional pre-pulled ``_unpack_drain`` dict. The
+        multiscene path (parallel/multi_scan.run_scenes_scan) drains ALL
+        scenes in one vmapped device pull and hands each scene its slice
+        here — S separate carry slices + drain pulls would cost ~20
+        eager dispatches each on the remote relay. Callers passing
+        ``drained`` must have no pending frames (a flush would make the
+        pre-pulled drain stale)."""
+        assert drained is None or not self._pending, \
+            "finalize(drained=...) with pending frames"
         self._flush()
-        c = self.carry
-        K_, T_ = c.ring.pid.shape
-        # ONE packed pull for the whole drain (see _drain_stage)
-        d = _unpack_drain(
-            np.asarray(_drain_stage(c), np.float64),
-            K_, T_, c.ring.desc.shape[1], c.X.shape[0])
+        if drained is None:
+            c = self.carry
+            K_, T_ = c.ring.pid.shape
+            # ONE packed pull for the whole drain (see _drain_stage)
+            d = _unpack_drain(
+                np.asarray(_drain_stage(c), np.float64),
+                K_, T_, c.ring.desc.shape[1], c.X.shape[0])
+        else:
+            d = drained
         n_kf = int(d["counts"][0])
         n_pts = int(d["counts"][1])
         R_cw = d["R_cw"][:n_kf]

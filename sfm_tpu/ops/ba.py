@@ -92,6 +92,32 @@ def ba_cost(p: BAProblem, huber_delta: float) -> jnp.ndarray:
     return jnp.sum(jnp.where(p.obs_valid, rho, 0.0))
 
 
+def ba_cost_soa(p: BAProblem, huber_delta: float) -> jnp.ndarray:
+    """Scalar-lane (SoA) twin of ``ba_cost`` — same value, no tiny-matrix
+    tiles. The tensor form's (M,3,3)x(M,3) einsum and (M,2) residual land
+    in (8,128)-padded vector tiles (the `_linearize_soa` layout trap); at
+    the window's M=1024 the cost eval was ~0.6 ms of the 2.1 ms LM
+    iteration. Here every intermediate is an (M,) lane vector."""
+    cam, pid = p.cam_idx, p.pid_idx
+    Rg = p.R_wc[cam]
+    tg = p.t_wc[cam]
+    Xg = p.X[pid]
+    Xc = [Rg[:, i, 0] * Xg[:, 0] + Rg[:, i, 1] * Xg[:, 1]
+          + Rg[:, i, 2] * Xg[:, 2] + tg[:, i] for i in range(3)]
+    z = Xc[2]
+    z_ok = p.obs_valid & (z > 1e-6)
+    iz = 1.0 / jnp.where(jnp.abs(z) < 1e-6, 1e-6, z)
+    rx = Xc[0] * iz - p.obs[:, 0]
+    ry = Xc[1] * iz - p.obs[:, 1]
+    n = jnp.sqrt(rx * rx + ry * ry)
+    rho = jnp.where(n <= huber_delta, 0.5 * n * n,
+                    huber_delta * (n - 0.5 * huber_delta))
+    cap = huber_delta * (_CUTOFF * huber_delta - 0.5 * huber_delta)
+    rho = jnp.minimum(rho, cap)
+    rho = jnp.where(z_ok, rho, jnp.where(p.obs_valid, 2.0 * cap + 1.0, 0.0))
+    return jnp.sum(jnp.where(p.obs_valid, rho, 0.0))
+
+
 def _linearize(p: BAProblem, huber_delta: float):
     """One vectorized linearization pass over all observations.
 
@@ -399,7 +425,6 @@ def refine_points(p: BAProblem, iters: int = 5, lambda0: float = 1e-3,
 
     def lm_step(carry, _):
         X, lam, cost = carry
-        cur = p._replace(X=X)
         r, Xc, z_ok = _project_residuals(
             p.R_wc, p.t_wc, X, p.cam_idx, p.pid_idx, p.obs, p.obs_valid
         )
@@ -431,14 +456,14 @@ def refine_points(p: BAProblem, iters: int = 5, lambda0: float = 1e-3,
         Hd = jnp.where(p.point_valid[:, None, None], Hd, eye3)
         dX = -jnp.einsum("pij,pj->pi", linalg.inv3(Hd), bp)
         X_try = jnp.where(p.point_valid[:, None], X + dX, X)
-        new_cost = ba_cost(p._replace(X=X_try), huber_delta)
+        new_cost = ba_cost_soa(p._replace(X=X_try), huber_delta)
         accept = new_cost < cost
         X = jnp.where(accept, X_try, X)
         cost = jnp.where(accept, new_cost, cost)
         lam = jnp.where(accept, lam * 0.3, lam * 2.0)
         return (X, lam, cost), cost
 
-    cost0 = ba_cost(p, huber_delta)
+    cost0 = ba_cost_soa(p, huber_delta)
     lam0 = jnp.asarray(lambda0, p.X.dtype)
     (X, lam, cost), hist = jax.lax.scan(
         lm_step, (p.X, lam0, cost0), None, length=iters)
@@ -480,7 +505,7 @@ def bundle_adjust(
         t_try = jnp.einsum("fij,fj->fi", dR, t_wc) + dx[:, 3:]
         X_try = X + dX if update_points else X
         trial = p._replace(R_wc=R_try, t_wc=t_try, X=X_try)
-        new_cost = ba_cost(trial, huber_delta)
+        new_cost = (ba_cost_soa if soa else ba_cost)(trial, huber_delta)
         accept = new_cost < cost
         R_wc = jnp.where(accept, R_try, R_wc)
         t_wc = jnp.where(accept, t_try, t_wc)
@@ -489,7 +514,7 @@ def bundle_adjust(
         lam = jnp.where(accept, lam * 0.3, lam * 2.0)  # ref py:839-843
         return (R_wc, t_wc, X, lam, cost), cost
 
-    cost0 = ba_cost(p, huber_delta)
+    cost0 = (ba_cost_soa if soa else ba_cost)(p, huber_delta)
     lam0 = jnp.asarray(lambda0, p.R_wc.dtype)
     (R_wc, t_wc, X, lam, cost), cost_hist = jax.lax.scan(
         lm_step, (p.R_wc, p.t_wc, p.X, lam0, cost0), None, length=iters

@@ -126,6 +126,23 @@ def _scene_view(datasets, images, cfg, s, n, chunk, p_cap, p_ba):
     return v
 
 
+@jax.jit
+def _drain_stage_scenes(carry):
+    """One vmapped drain pull for ALL scenes, (S, L): the per-scene
+    finalize previously sliced the batched carry (~20 eager dispatches
+    × ~25 ms relay latency per scene) and pulled S separate drains."""
+    return jax.vmap(sp._drain_stage.__wrapped__)(carry)
+
+
+@jax.jit
+def _ring_pose_stage_scenes(carry):
+    """One packed pull of ALL scenes' ring poses, (S, L). Gating each
+    scene from its own carry slice costs ~20 eager leaf slices × ~25 ms
+    dispatch on the remote relay BEFORE the host gate can reject; one
+    vmapped pull amortizes that to a single device call per chunk."""
+    return jax.vmap(sp._ring_pose_stage.__wrapped__)(carry)
+
+
 def _writeback_scene_poses(carry, s, vc):
     """Push a scene view's pose-graph-corrected poses back into the
     batched carry (only the fields _pose_graph_pushback touches)."""
@@ -215,6 +232,7 @@ def run_scenes_scan(datasets, cfg: SystemConfig, frames: int | None = None,
 
         # per-scene host-side work, gated on the (already pulled) metrics
         # so scenes without candidates cost zero extra device traffic
+        maybe: list[int] = []
         for s in range(S):
             v = views[s]
             rows = ys_c[s]
@@ -224,22 +242,48 @@ def run_scenes_scan(datasets, cfg: SystemConfig, frames: int | None = None,
                 v._images[int(fi)] = images[s][int(fi)]
             if not cfg.loop.enabled:
                 continue
-            if not (kf_rows[:, sp.Y_LOOP_S] > cfg.loop.score_thresh).any():
-                continue
-            v.carry = jax.tree.map(lambda a: a[s], carry)
-            n0 = len(v.loop_edges)
-            v._check_loops(rows)
-            if len(v.loop_edges) > n0:
-                carry = _writeback_scene_poses(carry, s, v.carry)
+            if (kf_rows[:, sp.Y_LOOP_S] > cfg.loop.score_thresh).any():
+                maybe.append(s)
+        if maybe and cfg.loop.method == "orb":
+            # ORB candidates come from the view's descriptor bank, not
+            # the ring scores — fall back to the per-scene path
+            for s in maybe:
+                v = views[s]
+                v.carry = jax.tree.map(lambda a: a[s], carry)
+                n0 = len(v.loop_edges)
+                v._check_loops(ys_c[s])
+                if len(v.loop_edges) > n0:
+                    carry = _writeback_scene_poses(carry, s, v.carry)
+        elif maybe:
+            # one batched pose pull for every candidate scene, host-side
+            # numpy gating, and a carry slice ONLY for gate survivors
+            K_ = int(carry.ring.pid.shape[1])
+            rp_flat = np.asarray(_ring_pose_stage_scenes(carry),
+                                 np.float64)
+            for s in maybe:
+                v = views[s]
+                rp = sp._unpack_ring_poses(rp_flat[s], K_)
+                cands = sp.ScanSfM.gate_loop_candidates(
+                    ys_c[s], rp, cfg.loop)
+                if not cands:
+                    continue
+                v.carry = jax.tree.map(lambda a: a[s], carry)
+                if v._verify_candidates(cands, rp):
+                    v._pose_graph_pushback()
+                    carry = _writeback_scene_poses(carry, s, v.carry)
     ys = np.concatenate(ys_all, axis=1)
 
     # per-scene finalize (drain + retriangulate + structure-only refine)
     # and optional export — the multiscene path now does the same closing
-    # work as a single-scene run
+    # work as a single-scene run. ONE vmapped drain pull feeds every
+    # scene's finalize; no per-scene carry slices.
+    K_, T_ = (int(carry.ring.pid.shape[1]), int(carry.ring.pid.shape[2]))
+    D_ = int(carry.ring.desc.shape[2])
+    P_ = int(carry.X.shape[1])
+    drain_flat = np.asarray(_drain_stage_scenes(carry), np.float64)
     for s in range(S):
         v = views[s]
-        v.carry = jax.tree.map(lambda a: a[s], carry)
-        v.finalize()
+        v.finalize(drained=sp._unpack_drain(drain_flat[s], K_, T_, D_, P_))
         if out_dirs is not None:
             v.export(out_dirs[s], dataset=datasets[s])
 

@@ -54,6 +54,27 @@ def make_ba_problem(rng, F=4, P=120, noise=1e-4, perturb_pose=0.02,
     return prob, R_gt, t_gt, X_gt
 
 
+def test_ba_cost_soa_matches_tensor(rng):
+    """ba_cost_soa is the LM accept/reject oracle — it must agree with
+    the tensor form on every regime: inliers, Huber tail, gross
+    outliers, behind-camera points, invalid observations."""
+    prob, *_ = make_ba_problem(rng, noise=1e-3)
+    # poison some observations into every branch of the robust cost
+    obs = np.asarray(prob.obs).copy()
+    obs[5] += 0.5        # gross outlier (past _CUTOFF*delta)
+    obs[17] += 0.03      # Huber linear tail
+    X = np.asarray(prob.X).copy()
+    X[3] = [0.0, 0.0, -5.0]  # behind every camera
+    obs_valid = np.asarray(prob.obs_valid).copy()
+    obs_valid[40:60] = False
+    prob = prob._replace(obs=jnp.asarray(obs), X=jnp.asarray(X),
+                         obs_valid=jnp.asarray(obs_valid))
+    for delta in (1e-2, 2e-3):
+        c_t = float(ba.ba_cost(prob, delta))
+        c_s = float(ba.ba_cost_soa(prob, delta))
+        assert c_t == pytest.approx(c_s, rel=1e-6)
+
+
 def test_ba_reduces_cost(rng):
     prob, *_ = make_ba_problem(rng)
     R, t, X, info = ba.bundle_adjust(prob, iters=8, huber_delta=1e-2)
