@@ -304,6 +304,7 @@ def bench_multiscene(data_root: Path, S: int = 4) -> dict:
         "map_points": [int(x) for x in res["n_points"]],
         "loop_edges": [len(le) for le in res["loop_edges"]],
         "ate_ratio_extent": ates,
+        "timers": {k: round(v, 3) for k, v in res["timers"].items()},
     }
 
 

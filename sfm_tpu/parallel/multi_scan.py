@@ -21,6 +21,8 @@ scene/data parallelism row; exercised on a virtual mesh by
 
 from __future__ import annotations
 
+import logging
+import time
 from functools import partial
 
 import jax
@@ -29,6 +31,9 @@ import numpy as np
 
 from sfm_tpu.config import SystemConfig
 from sfm_tpu.models import scan_pipeline as sp
+from sfm_tpu.ops import ba as ba_ops
+
+log = logging.getLogger("sfm_tpu")
 
 
 @partial(jax.jit, static_argnames=("cfg", "kf_cap", "p_cap"))
@@ -143,6 +148,124 @@ def _ring_pose_stage_scenes(carry):
     return jax.vmap(sp._ring_pose_stage.__wrapped__)(carry)
 
 
+@partial(jax.jit, static_argnames=("levels", "lk_iters", "radius"))
+def _verify_scene_stage(Kf, img_old, img_new, carry, s, cand_kf, cur_kf,
+                        levels, lk_iters, radius, fb_thresh, huber_delta):
+    """Fused gather + LK+PnP loop verification for ONE scene of the
+    batched carry. Slicing a scene's ~20 carry leaves eagerly costs
+    ~25 ms relay dispatch EACH before the verification can even start;
+    here the scene/keyframe gather rides inside the same program as
+    `_loop_pnp_edge_stage` and the host pulls one 16-float pack."""
+    ring = carry.ring
+    return sp._loop_pnp_edge_stage.__wrapped__(
+        Kf, img_old, img_new,
+        ring.uv[s, cand_kf], ring.pid[s, cand_kf],
+        ring.tvalid[s, cand_kf],
+        ring.R_cw[s, cand_kf], ring.t_cw[s, cand_kf], carry.X[s],
+        ring.pid[s, cur_kf], ring.tvalid[s, cur_kf],
+        ring.R_cw[s, cur_kf], ring.t_cw[s, cur_kf],
+        levels=levels, lk_iters=lk_iters, radius=radius,
+        fb_thresh=fb_thresh, huber_delta=huber_delta)
+
+
+@jax.jit
+def _apply_pushback(carry, s, ring_R, ring_t, last_R, last_t):
+    """Write one scene's pose-graph-corrected ring poses + current pose
+    into the batched carry in ONE program (vs ~6 eager `.at[].set`
+    dispatches through a sliced per-scene carry)."""
+    return carry._replace(
+        R_cw=carry.R_cw.at[s].set(last_R),
+        t_cw=carry.t_cw.at[s].set(last_t),
+        ring=carry.ring._replace(
+            R_cw=carry.ring.R_cw.at[s].set(ring_R),
+            t_cw=carry.ring.t_cw.at[s].set(ring_t)))
+
+
+@partial(jax.jit, static_argnames=("iters",))
+def _refine_points_scenes(probs, iters, lambda0, huber_delta):
+    """ONE vmapped frozen-pose point polish for all scenes. Stacked (not
+    concatenated) problems: each scene keeps its own LM lambda/accept
+    trajectory, so per-scene results match the serial path exactly."""
+    def one(p):
+        Xn, info = ba_ops.refine_points.__wrapped__(
+            p, iters=iters, lambda0=lambda0, huber_delta=huber_delta)
+        return Xn, jnp.stack([info["cost0"], info["cost"]])
+
+    return jax.vmap(one)(probs)
+
+
+def _refine_scenes(views, cfg) -> None:
+    """Cross-scene batched twin of `ScanSfM.finalize`'s refinement loop
+    (finalize was called with ``refine=False``): re-triangulate every
+    scene's map in ONE `_dlt_packed` call and polish points in ONE
+    vmapped `refine_points` program, instead of 2×S serial device
+    round-trips. Updates each view's ``_X`` in place."""
+    rounds = max((v.refine_rounds for v in views), default=0)
+    fx = float(views[0].K[0, 0]) if views else 1.0
+    for r in range(rounds):
+        st: dict[int, dict] = {}
+        for s, v in enumerate(views):
+            if r >= v.refine_rounds or len(v.kfs) < 1 or len(v._X) < 10:
+                continue
+            st[s] = dict(
+                R_cw=np.stack([kf.R_cw for kf in v.kfs]),
+                t_cw=np.stack([kf.t_cw for kf in v.kfs]),
+                uv=np.stack([kf.uv for kf in v.kfs]),
+                tvalid=np.stack([kf.valid for kf in v.kfs]),
+                pid=v._ring_pid, n_kf=len(v.kfs), n_pts=len(v._X))
+        # batched first-vs-last DLT re-triangulation (per-point closed
+        # form — concatenating scenes is exact)
+        idx = [s for s in st
+               if (views[s]._pg_ran or r > 0) and st[s]["n_pts"] >= 10]
+        if idx:
+            Np = max(sp._next_pow2(st[s]["n_pts"], lo=1024) for s in idx)
+            preps = {s: views[s]._retri_prep(
+                st[s]["R_cw"], st[s]["t_cw"], st[s]["pid"], st[s]["uv"],
+                st[s]["tvalid"], views[s]._X, Np=Np) for s in idx}
+            ops6 = [np.concatenate([preps[s][0][k] for s in idx])
+                    for k in range(6)]
+            packed = np.asarray(sp._dlt_packed(*ops6), np.float64)
+            for j, s in enumerate(idx):
+                seg = packed[j * Np:(j + 1) * Np][: st[s]["n_pts"]]
+                views[s]._X = sp.ScanSfM._retri_post(
+                    seg, preps[s][1], views[s]._X)
+        # batched frozen-pose structure refine
+        idx2 = [s for s in st
+                if cfg.ba.global_iters > 0 and st[s]["n_kf"] >= 3
+                and st[s]["n_pts"] >= 10]
+        if not idx2:
+            continue
+        F = max(sp._next_pow2(st[s]["n_kf"], lo=8) for s in idx2)
+        P = max(sp._next_pow2(st[s]["n_pts"], lo=1024) for s in idx2)
+        M = max(sp._next_pow2(
+            int((st[s]["tvalid"] & (st[s]["pid"] >= 0)
+                 & (st[s]["pid"] < st[s]["n_pts"])).sum()), lo=4096)
+            for s in idx2)
+        preps2 = {}
+        for s in idx2:
+            prep = views[s]._refine_prep(
+                st[s]["R_cw"], st[s]["t_cw"], st[s]["pid"], st[s]["uv"],
+                st[s]["tvalid"], views[s]._X, F=F, P=P, M=M)
+            if prep is not None:  # <30 obs: degenerate, skip
+                preps2[s] = prep
+        if not preps2:
+            continue
+        live = sorted(preps2)
+        probs = jax.tree.map(lambda *xs: np.stack(xs),
+                             *[preps2[s][0] for s in live])
+        Xn, costs = _refine_points_scenes(
+            probs, cfg.ba.global_iters, cfg.ba.lambda0,
+            cfg.ba.huber_delta / fx)
+        Xn = np.asarray(Xn, np.float64)
+        costs = np.asarray(costs, np.float64)
+        for j, s in enumerate(live):
+            views[s]._X = Xn[j][: st[s]["n_pts"]]
+            log.info("structure refine (scene %d): cost %.3e -> %.3e "
+                     "(%d kfs, %d pts, %d obs)", s, costs[j, 0],
+                     costs[j, 1], st[s]["n_kf"], st[s]["n_pts"],
+                     preps2[s][1])
+
+
 def _writeback_scene_poses(carry, s, vc):
     """Push a scene view's pose-graph-corrected poses back into the
     batched carry (only the fields _pose_graph_pushback touches)."""
@@ -210,7 +333,11 @@ def run_scenes_scan(datasets, cfg: SystemConfig, frames: int | None = None,
     if shard is not None:
         carry = jax.device_put(carry, shard)
     ys_all = []
+    # coarse host-side phase timers (the per-chunk ys pull and the
+    # finalize pulls are real syncs, so the segments are attributable)
+    tm = {"chunks": 0.0, "loop_check": 0.0, "finalize": 0.0}
     for start in range(1, n, chunk):
+        t0 = time.perf_counter()
         stop = min(start + chunk, n)
         imgs = np.zeros((S, chunk, *imgs0.shape[1:]), np.uint8)
         idxs = np.zeros((chunk,), np.int32)
@@ -229,6 +356,8 @@ def run_scenes_scan(datasets, cfg: SystemConfig, frames: int | None = None,
             jnp.asarray(fvalid))
         ys_c = np.asarray(ys)  # (S,C,NY) — the chunk's single bulk pull
         ys_all.append(ys_c)
+        t1 = time.perf_counter()
+        tm["chunks"] += t1 - t0
 
         # per-scene host-side work, gated on the (already pulled) metrics
         # so scenes without candidates cost zero extra device traffic
@@ -267,11 +396,53 @@ def run_scenes_scan(datasets, cfg: SystemConfig, frames: int | None = None,
                     ys_c[s], rp, cfg.loop)
                 if not cands:
                     continue
-                v.carry = jax.tree.map(lambda a: a[s], carry)
-                if v._verify_candidates(cands, rp):
-                    v._pose_graph_pushback()
-                    carry = _writeback_scene_poses(carry, s, v.carry)
+                cs = rp["t_cw"][: rp["n_kf"]]
+                frames_s = rp["frame"]
+                kcfg = cfg.klt
+                fx = float(v.K[0, 0])
+                found = False
+                for cand_kf, cur_kf, cur_frame in cands:
+                    old_img = v._images.get(int(frames_s[cand_kf]))
+                    new_img = v._images.get(cur_frame)
+                    if old_img is None or new_img is None:
+                        continue
+                    pack = np.asarray(_verify_scene_stage(
+                        v._Kj, jnp.asarray(old_img),
+                        jnp.asarray(new_img), carry,
+                        jnp.asarray(s, jnp.int32),
+                        jnp.asarray(cand_kf, jnp.int32),
+                        jnp.asarray(cur_kf, jnp.int32),
+                        levels=kcfg.pyr_levels, lk_iters=kcfg.iters,
+                        radius=kcfg.win_radius, fb_thresh=kcfg.fb_thresh,
+                        huber_delta=cfg.ba.huber_delta / fx), np.float64)
+                    if pack[15] < 30:
+                        # unmapped old keyframe — rare E-RANSAC fallback
+                        # through the per-scene path (needs the slice)
+                        v.carry = jax.tree.map(lambda a: a[s], carry)
+                        edge = v._verify_loop(cand_kf, cur_kf, old_img,
+                                              new_img, cs=cs)
+                    else:
+                        edge = v._pnp_edge_from_pack(pack, cand_kf,
+                                                     cur_kf, cs=cs)
+                    if edge is None:
+                        continue
+                    v.loop_edges.append(edge)
+                    found = True
+                    log.info("loop closure (scene %d) %d -> %d "
+                             "(inliers %d)", s, cand_kf, cur_kf,
+                             edge.inliers)
+                if found:
+                    solved = v._pose_graph_solve(rp)
+                    if solved is not None:
+                        ring_R, ring_t = solved
+                        nk = rp["n_kf"]
+                        carry = _apply_pushback(
+                            carry, jnp.asarray(s, jnp.int32), ring_R,
+                            ring_t, ring_R[nk - 1], ring_t[nk - 1])
+                        v._pg_ran = True
+        tm["loop_check"] += time.perf_counter() - t1
     ys = np.concatenate(ys_all, axis=1)
+    t2 = time.perf_counter()
 
     # per-scene finalize (drain + retriangulate + structure-only refine)
     # and optional export — the multiscene path now does the same closing
@@ -282,12 +453,19 @@ def run_scenes_scan(datasets, cfg: SystemConfig, frames: int | None = None,
     P_ = int(carry.X.shape[1])
     drain_flat = np.asarray(_drain_stage_scenes(carry), np.float64)
     for s in range(S):
-        v = views[s]
-        v.finalize(drained=sp._unpack_drain(drain_flat[s], K_, T_, D_, P_))
-        if out_dirs is not None:
-            v.export(out_dirs[s], dataset=datasets[s])
+        views[s].finalize(
+            drained=sp._unpack_drain(drain_flat[s], K_, T_, D_, P_),
+            refine=False)
+    # the refinement rounds run batched across scenes (ONE DLT call +
+    # ONE vmapped refine_points program instead of 2×S round-trips)
+    _refine_scenes(views, cfg)
+    tm["finalize"] = time.perf_counter() - t2
+    if out_dirs is not None:
+        for s in range(S):
+            views[s].export(out_dirs[s], dataset=datasets[s])
 
     return {
+        "timers": tm,
         "centers": [np.stack([kf.center for kf in v.kfs])
                     if v.kfs else np.zeros((0, 3)) for v in views],
         "kf_frames": [np.asarray([kf.frame_idx for kf in v.kfs])
