@@ -929,6 +929,91 @@ def _dlt_packed(Ra, ta, xa, Rb, tb, xb):
     return jnp.concatenate([X3, za[:, None], zb[:, None]], axis=1)
 
 
+def _finalize_refine_core(Kf, ring: KeyframeRing, X, n_pts, do_retri0,
+                          do_retri_later, enable_refine, iters: int,
+                          rounds: int, lambda0, huber_delta):
+    """Device-side twin of ``ScanSfM.finalize``'s refinement rounds
+    (re-triangulate + frozen-pose point polish), reading the ring in
+    place.
+
+    The host path (`_retri_prep`/`_refine_prep`) lexsorts ~50k
+    observations on the host, uploads ~2 MB of padded operands, and
+    round-trips the device 2× per round. Here each point's first/last
+    observing (keyframe, slot) comes from two segment reductions over
+    the ring's (K,T) point-id matrix (same ordering as the host's
+    lexsort: row-major (k,s) codes), and the polish uses every ring slot
+    as a masked observation row — no host prep at all.
+
+    The three gate flags may be Python bools (static call sites — XLA
+    dead-code-eliminates a disabled block) or traced per-scene scalars
+    (the vmapped multiscene wrapper). Returns [X.ravel() | cost0 | cost]
+    (f32), one pull."""
+    K_, T_ = ring.pid.shape
+    P = X.shape[0]
+    obs_ok = (ring.tvalid & (ring.pid >= 0) & (ring.pid < n_pts)
+              & ring.kvalid[:, None])
+    pid_safe = jnp.where(obs_ok, ring.pid, P)
+    BIG = K_ * T_
+    code = (jax.lax.broadcasted_iota(i32, (K_, T_), 0) * T_
+            + jax.lax.broadcasted_iota(i32, (K_, T_), 1))
+    first = jax.ops.segment_min(
+        jnp.where(obs_ok, code, BIG).ravel(), pid_safe.ravel(),
+        num_segments=P + 1)[:P]
+    last = jax.ops.segment_max(
+        jnp.where(obs_ok, code, -1).ravel(), pid_safe.ravel(),
+        num_segments=P + 1)[:P]
+    has = (first < BIG) & (last >= 0)
+    fc = jnp.clip(first, 0, BIG - 1)
+    lc = jnp.clip(last, 0, BIG - 1)
+    ka, sa = fc // T_, fc % T_
+    kb, sb = lc // T_, lc % T_
+    ok2 = has & (ka != kb)
+    # world->camera extrinsics from the (pose-graph-corrected) ring
+    R_wc = jnp.swapaxes(ring.R_cw, -1, -2)
+    t_wc = -jnp.einsum("kij,kj->ki", R_wc, ring.t_cw)
+    xa = epipolar.normalize_by_K(Kf, ring.uv[ka, sa].astype(f32))
+    xb = epipolar.normalize_by_K(Kf, ring.uv[kb, sb].astype(f32))
+    # the polish problem's static side: every (k,s) ring slot is an
+    # observation row, invalid slots masked via obs_valid
+    cam_idx = jax.lax.broadcasted_iota(i32, (K_, T_), 0).ravel()
+    pid_idx = jnp.where(obs_ok, ring.pid, 0).ravel().astype(i32)
+    obs_n = epipolar.normalize_by_K(Kf, ring.uv.reshape(-1, 2).astype(f32))
+    point_valid = jax.lax.iota(i32, P) < n_pts
+    X = X.astype(f32)
+    cost0 = cost = jnp.zeros((), f32)
+    for r in range(rounds):
+        retri = do_retri0 if r == 0 else do_retri_later
+        X3, za, zb = triangulate.triangulate_dlt(
+            R_wc[ka], t_wc[ka], xa, R_wc[kb], t_wc[kb], xb)
+        good = (ok2 & (za > 1e-6) & (zb > 1e-6)
+                & jnp.isfinite(X3).all(-1) & retri)
+        X = jnp.where(good[:, None], X3.astype(f32), X)
+        prob = ba_ops.BAProblem(
+            R_wc=R_wc.astype(f32), t_wc=t_wc.astype(f32), X=X,
+            cam_idx=cam_idx, pid_idx=pid_idx, obs=obs_n,
+            obs_valid=obs_ok.ravel(), point_valid=point_valid)
+        Xr, info = ba_ops.refine_points.__wrapped__(
+            prob, iters=iters, lambda0=lambda0, huber_delta=huber_delta)
+        X = jnp.where(enable_refine, Xr.astype(f32), X)
+        if r == 0:
+            cost0 = info["cost0"].astype(f32)
+        cost = info["cost"].astype(f32)
+    return jnp.concatenate([X.ravel(), jnp.stack([cost0, cost])])
+
+
+@partial(jax.jit, static_argnames=("do_retri0", "do_retri_later",
+                                   "enable_refine", "iters", "rounds"))
+def _finalize_refine_stage(Kf, carry: ScanCarry, do_retri0: bool,
+                           do_retri_later: bool, enable_refine: bool,
+                           iters: int, rounds: int, lambda0, huber_delta):
+    """Single-scene wrapper of `_finalize_refine_core`: static gate flags
+    so a disabled block (e.g. no pose graph ran -> no round-0
+    re-triangulation) is dead-code-eliminated."""
+    return _finalize_refine_core(
+        Kf, carry.ring, carry.X, carry.n_pts, do_retri0, do_retri_later,
+        enable_refine, iters, rounds, lambda0, huber_delta)
+
+
 def _unpack_drain(flat: np.ndarray, K: int, T: int, D: int, P: int) -> dict:
     """Host twin of _drain_stage's layout."""
     shapes = [
@@ -1159,7 +1244,7 @@ class ScanSfM:
         if not cands:
             return
         if self._verify_candidates(cands, rp):
-            self._pose_graph_pushback()
+            self._pose_graph_pushback(pr=rp)
 
     def _verify_candidates(self, cands: list[tuple[int, int, int]],
                            rp: dict) -> bool:
@@ -1240,7 +1325,7 @@ class ScanSfM:
             log.info("loop closure (device) %d -> %d (inliers %d, "
                      "tracked %d)", i, j, int(row[Y_LV_INL]),
                      int(row[Y_LV_NTR]))
-        self._pose_graph_pushback()
+        self._pose_graph_pushback(pr=rp)
 
     def _orb_for(self, kf_id: int, img) -> None:
         """Compute + cache ORB features for keyframe ``kf_id`` and write
@@ -1321,6 +1406,42 @@ class ScanSfM:
         if found:
             self._pose_graph_pushback()
 
+    def _pnp_edge_from_pack(self, pack: np.ndarray, cand_kf: int,
+                            cur_kf: int, cs: np.ndarray | None = None):
+        """Build the loop ``Edge`` from a pulled `_loop_pnp_edge_stage`
+        pack ([R_ji(9), t_ji(3), inliers, n_tracked, s_rel, ...]);
+        None when the PnP verification rejects the candidate. Shared by
+        the single-scene `_verify_loop` and the multiscene fused-gather
+        verification (parallel/multi_scan)."""
+        lcfg = self.cfg.loop
+        lw = self.cfg.pose_graph.loop_weight
+        R_ji = pack[:9].reshape(3, 3)
+        t_ji = pack[9:12]
+        inliers = int(pack[12])
+        n_tracked = int(pack[13])
+        s_rel = float(pack[14])
+        if n_tracked < min(lcfg.min_tracked, 30) \
+                or inliers < lcfg.min_inliers:
+            log.info("loop candidate %d->%d rejected "
+                     "(pnp tracked=%d inliers=%d)",
+                     cand_kf, cur_kf, n_tracked, inliers)
+            return None
+        b = float(np.linalg.norm(t_ji))
+        w_tr = lw
+        if self.cfg.translation_mode != TranslationMode.FULL:
+            # dir-mode residual compares unit vectors: still gate the
+            # translation by the (now metric, PnP-measured) baseline —
+            # a zero-length translation has no direction
+            if cs is None:
+                n_kf = int(self.carry.kf_count)
+                cs = np.asarray(self.carry.ring.t_cw, np.float64)[:n_kf]
+            odo = np.linalg.norm(np.diff(cs, axis=0), axis=1)
+            b_ref = float(np.median(odo)) if len(odo) else 1.0
+            w_tr = lw * min(1.0, b / max(b_ref, 1e-12))
+        return Edge(i=cand_kf, j=cur_kf, R_ji=R_ji, t_ji=t_ji,
+                    inliers=inliers, is_loop=True,
+                    w_rot=lw, w_trans=w_tr, s_rel=s_rel)
+
     def _verify_loop(self, cand_kf: int, cur_kf: int, old_img, new_img,
                      cs: np.ndarray | None = None):
         """Verify a loop candidate and build its pose-graph edge.
@@ -1353,32 +1474,7 @@ class ScanSfM:
                 radius=kcfg.win_radius, fb_thresh=kcfg.fb_thresh,
                 huber_delta=self.cfg.ba.huber_delta / fx,
             ), np.float64)  # one pull
-            R_ji = pack[:9].reshape(3, 3)
-            t_ji = pack[9:12]
-            inliers = int(pack[12])
-            n_tracked = int(pack[13])
-            s_rel = float(pack[14])
-            if n_tracked < min(lcfg.min_tracked, 30) \
-                    or inliers < lcfg.min_inliers:
-                log.info("loop candidate %d->%d rejected "
-                         "(pnp tracked=%d inliers=%d)",
-                         cand_kf, cur_kf, n_tracked, inliers)
-                return None
-            b = float(np.linalg.norm(t_ji))
-            w_tr = lw
-            if self.cfg.translation_mode != TranslationMode.FULL:
-                # dir-mode residual compares unit vectors: still gate the
-                # translation by the (now metric, PnP-measured) baseline —
-                # a zero-length translation has no direction
-                if cs is None:
-                    n_kf = int(self.carry.kf_count)
-                    cs = np.asarray(ring.t_cw, np.float64)[:n_kf]
-                odo = np.linalg.norm(np.diff(cs, axis=0), axis=1)
-                b_ref = float(np.median(odo)) if len(odo) else 1.0
-                w_tr = lw * min(1.0, b / max(b_ref, 1e-12))
-            return Edge(i=cand_kf, j=cur_kf, R_ji=R_ji, t_ji=t_ji,
-                        inliers=inliers, is_loop=True,
-                        w_rot=lw, w_trans=w_tr, s_rel=s_rel)
+            return self._pnp_edge_from_pack(pack, cand_kf, cur_kf, cs)
         # ---- fallback: reference-style E-RANSAC verification ----------
         rp, n_tracked = self._verify_pair(old_img, new_img)
         if rp is None:
@@ -1452,21 +1548,43 @@ class ScanSfM:
         ]
         return edges + list(self.loop_edges)
 
-    def _pose_graph_pushback(self) -> None:
+    def _pose_graph_pushback(self, pr: dict | None = None) -> None:
         """SE(3)/centers pose graph over drained poses+edges; corrected
         poses are pushed back into the device carry (ref py:990-1001 /
-        cpp:1862)."""
+        cpp:1862). ``pr``: optional pre-pulled `_unpack_ring_poses` dict
+        (verification does not move poses, so the gate's pull is still
+        exact here — saves one ~30 ms pull)."""
+        if pr is None:
+            K_ = self.carry.ring.pid.shape[0]
+            pr = _unpack_ring_poses(
+                np.asarray(_ring_pose_stage(self.carry), np.float64), K_)
+        solved = self._pose_graph_solve(pr)
+        if solved is None:
+            return
+        ring_R, ring_t = solved
+        n_kf = pr["n_kf"]
+        self.carry = self.carry._replace(
+            ring=self.carry.ring._replace(R_cw=jnp.asarray(ring_R),
+                                          t_cw=jnp.asarray(ring_t)),
+            R_cw=jnp.asarray(ring_R[n_kf - 1]),
+            t_cw=jnp.asarray(ring_t[n_kf - 1]),
+        )
+        self._pg_ran = True
+
+    def _pose_graph_solve(self, pr: dict):
+        """Solve the pose graph from a pre-pulled ring-pose dict. Returns
+        the full-ring corrected ``(ring_R, ring_t)`` float32 arrays (rows
+        past n_kf unchanged), or None when the graph is degenerate. Pure
+        host+device math — does NOT touch ``self.carry``, so the
+        multiscene path can solve from its batched pull and write back
+        with one program (parallel/multi_scan)."""
         from sfm_tpu.ops import posegraph as pg_ops
 
         pcfg = self.cfg.pose_graph
-        ring = self.carry.ring
-        K_ = ring.pid.shape[0]
-        pr = _unpack_ring_poses(
-            np.asarray(_ring_pose_stage(self.carry), np.float64), K_)
         n_kf = pr["n_kf"]
         edges = self._drain_edges(drained=pr)
         if n_kf < 3 or len(edges) < 2:
-            return
+            return None
         Np = _next_pow2(n_kf, lo=8)
         Ep = _next_pow2(len(edges), lo=8)
         R_all = pr["R_cw"]
@@ -1528,16 +1646,11 @@ class ScanSfM:
         ring_t = C_all.astype(np.float32).copy()
         ring_R[:n_kf] = R_new
         ring_t[:n_kf] = C_new
-        self.carry = self.carry._replace(
-            ring=ring._replace(R_cw=jnp.asarray(ring_R),
-                               t_cw=jnp.asarray(ring_t)),
-            R_cw=jnp.asarray(R_new[n_kf - 1]),
-            t_cw=jnp.asarray(C_new[n_kf - 1]),
-        )
-        self._pg_ran = True
+        return ring_R, ring_t
 
     # -- finalize + export ---------------------------------------------
-    def finalize(self, drained: dict | None = None) -> None:
+    def finalize(self, drained: dict | None = None,
+                 refine: bool = True) -> None:
         """Flush, drain the device state, run the global BA, and build
         the host-side keyframe/edge views (export parity with
         models/system.SfMSystem).
@@ -1548,7 +1661,12 @@ class ScanSfM:
         here — S separate carry slices + drain pulls would cost ~20
         eager dispatches each on the remote relay. Callers passing
         ``drained`` must have no pending frames (a flush would make the
-        pre-pulled drain stale)."""
+        pre-pulled drain stale).
+
+        ``refine=False`` skips the re-triangulate/structure-refine
+        rounds (they only touch ``self._X``); the multiscene path runs
+        them afterwards batched across scenes
+        (parallel/multi_scan._refine_scenes)."""
         assert drained is None or not self._pending, \
             "finalize(drained=...) with pending frames"
         self._flush()
@@ -1581,11 +1699,40 @@ class ScanSfM:
         # on the 47-frame ring it degrades ATE from 0.74% to 1.3% of
         # extent while lowering reprojection error — the trajectory is
         # already optimal from the in-loop window BA + PnP + pose graph.
-        for r in range(self.refine_rounds):
-            if (self._pg_ran or r > 0) and n_pts >= 10:
-                X = self._retriangulate(R_cw, t_cw, pid, uv, tvalid, X)
-            if self.cfg.ba.global_iters > 0 and n_kf >= 3 and n_pts >= 10:
-                X = self._refine_structure(R_cw, t_cw, pid, uv, tvalid, X)
+        # the refinement rounds run in ONE fused device program reading
+        # the carry in place (`_finalize_refine_core`); the host
+        # `_retriangulate`/`_refine_structure` twins remain the reference
+        # implementation (parity: test_scan_pipeline) and serve the
+        # multiscene batched path
+        if refine and self.refine_rounds > 0 and drained is None:
+            m = int((tvalid & (pid >= 0) & (pid < n_pts)).sum())
+            do0 = self._pg_ran and n_pts >= 10
+            later = n_pts >= 10
+            en_ref = (self.cfg.ba.global_iters > 0 and n_kf >= 3
+                      and n_pts >= 10 and m >= 30)
+            if do0 or (later and self.refine_rounds > 1) or en_ref:
+                fx = float(self.K[0, 0])
+                out = np.asarray(_finalize_refine_stage(
+                    self._Kj, self.carry, do0, later, en_ref,
+                    iters=self.cfg.ba.global_iters,
+                    rounds=self.refine_rounds,
+                    lambda0=self.cfg.ba.lambda0,
+                    huber_delta=self.cfg.ba.huber_delta / fx),
+                    np.float64)  # one pull: [X | cost0 | cost]
+                X = out[:-2].reshape(-1, 3)[:n_pts]
+                if en_ref:
+                    log.info("structure refine: cost %.3e -> %.3e "
+                             "(%d kfs, %d pts, %d obs)", out[-2],
+                             out[-1], n_kf, n_pts, m)
+        elif refine:
+            for r in range(self.refine_rounds):
+                if (self._pg_ran or r > 0) and n_pts >= 10:
+                    X = self._retriangulate(R_cw, t_cw, pid, uv,
+                                            tvalid, X)
+                if (self.cfg.ba.global_iters > 0 and n_kf >= 3
+                        and n_pts >= 10):
+                    X = self._refine_structure(R_cw, t_cw, pid, uv,
+                                               tvalid, X)
 
         self.kfs = [
             Keyframe(kf_id=k, frame_idx=int(frames[k]),
@@ -1598,9 +1745,14 @@ class ScanSfM:
         self._X = X
         self._ring_pid = pid  # (n_kf, T) observation matrix, for tooling
 
-    def _retriangulate(self, R_cw, t_cw, pid, uv, tvalid, X):
-        """Batched first-vs-last DLT re-triangulation of every map point
-        from the (corrected) keyframe poses."""
+    def _retri_prep(self, R_cw, t_cw, pid, uv, tvalid, X,
+                    Np: int | None = None):
+        """Host-side prep for the first-vs-last DLT: pick each point's
+        first/last observing keyframe and build the padded `_dlt_packed`
+        operands. Returns ``(ops6, ok)`` — ``ops6`` the six (Np,…) numpy
+        operands, ``ok`` the (n_pts,) host validity mask. Split out so
+        the multiscene path can concatenate several scenes' operands
+        into ONE device call (parallel/multi_scan._refine_scenes)."""
         from sfm_tpu.utils import np_geom
 
         n_pts = len(X)
@@ -1623,25 +1775,47 @@ class ScanSfM:
         # pad to a pow2 bucket: every reconstruction has a different
         # point count, and an unpadded shape would recompile the DLT
         # program per run (minutes over the remote-compile tunnel)
-        Np = _next_pow2(n_pts, lo=1024)
+        if Np is None:
+            Np = _next_pow2(n_pts, lo=1024)
 
         def pad(a, eye=False):
             out = (np.tile(np.eye(3, dtype=np.float32), (Np, 1, 1))
                    if eye else np.zeros((Np, *a.shape[1:]), np.float32))
             out[: len(a)] = a
-            return jnp.asarray(out)
+            return out
 
-        packed = np.asarray(_dlt_packed(
-            pad(R_wc[ka], eye=True), pad(t_wc[ka]), pad(xa),
-            pad(R_wc[kb], eye=True), pad(t_wc[kb]), pad(xb)),
-            np.float64)[:n_pts]  # one pull for (X3, za, zb)
+        ops6 = (pad(R_wc[ka], eye=True), pad(t_wc[ka]), pad(xa),
+                pad(R_wc[kb], eye=True), pad(t_wc[kb]), pad(xb))
+        return ops6, ok
+
+    @staticmethod
+    def _retri_post(packed: np.ndarray, ok: np.ndarray,
+                    X: np.ndarray) -> np.ndarray:
+        """Accept the re-triangulated points that pass the cheirality +
+        finiteness gates; keep the old point otherwise. ``packed`` is
+        the (n_pts,5) `_dlt_packed` pull (X3, za, zb)."""
         X3, za, zb = packed[:, :3], packed[:, 3], packed[:, 4]
         good = ok & (za > 1e-6) & (zb > 1e-6) & np.isfinite(X3).all(-1)
         return np.where(good[:, None], X3, X)
 
-    def _refine_structure(self, R_cw, t_cw, pid, uv, tvalid, X):
-        """Frozen-pose point polish over the full drained observation set
-        (see finalize for why poses stay fixed)."""
+    def _retriangulate(self, R_cw, t_cw, pid, uv, tvalid, X):
+        """Batched first-vs-last DLT re-triangulation of every map point
+        from the (corrected) keyframe poses."""
+        ops6, ok = self._retri_prep(R_cw, t_cw, pid, uv, tvalid, X)
+        packed = np.asarray(_dlt_packed(*ops6),
+                            np.float64)[: len(X)]  # one pull (X3, za, zb)
+        return self._retri_post(packed, ok, X)
+
+    def _refine_prep(self, R_cw, t_cw, pid, uv, tvalid, X,
+                     F: int | None = None, P: int | None = None,
+                     M: int | None = None):
+        """Host-side prep for the frozen-pose point polish: build the
+        padded `ops/ba.BAProblem` (numpy leaves). Returns ``(prob, m)``,
+        or ``None`` when there are fewer than 30 observations (degenerate
+        map segment — nothing worth polishing). Split out so the
+        multiscene path can stack several scenes' problems into ONE
+        vmapped `refine_points` program (same per-scene LM semantics —
+        the solves don't couple)."""
         from sfm_tpu.utils import np_geom
 
         n_kf, T = pid.shape
@@ -1650,10 +1824,10 @@ class ScanSfM:
         kk, ss = np.nonzero(ok)
         m = len(kk)
         if m < 30:
-            return X
-        F = _next_pow2(n_kf, lo=8)
-        P = _next_pow2(n_pts, lo=1024)
-        M = _next_pow2(m, lo=4096)
+            return None
+        F = F or _next_pow2(n_kf, lo=8)
+        P = P or _next_pow2(n_pts, lo=1024)
+        M = M or _next_pow2(m, lo=4096)
         cam_idx = np.zeros(M, np.int32)
         pidx = np.zeros(M, np.int32)
         obs_n = np.zeros((M, 2))
@@ -1671,12 +1845,23 @@ class ScanSfM:
         R_wc = np.concatenate([R_wc, np.tile(np.eye(3), (F - n_kf, 1, 1))])
         t_wc = np.concatenate([t_wc, np.zeros((F - n_kf, 3))])
         prob = ba_ops.BAProblem(
-            R_wc=jnp.asarray(R_wc, f32), t_wc=jnp.asarray(t_wc, f32),
-            X=jnp.asarray(Xp, f32),
-            cam_idx=jnp.asarray(cam_idx), pid_idx=jnp.asarray(pidx),
-            obs=jnp.asarray(obs_n, f32), obs_valid=jnp.asarray(ovalid),
-            point_valid=jnp.asarray(pvalid),
+            R_wc=np.asarray(R_wc, np.float32),
+            t_wc=np.asarray(t_wc, np.float32),
+            X=np.asarray(Xp, np.float32),
+            cam_idx=cam_idx, pid_idx=pidx,
+            obs=np.asarray(obs_n, np.float32), obs_valid=ovalid,
+            point_valid=pvalid,
         )
+        return prob, m
+
+    def _refine_structure(self, R_cw, t_cw, pid, uv, tvalid, X):
+        """Frozen-pose point polish over the full drained observation set
+        (see finalize for why poses stay fixed)."""
+        prep = self._refine_prep(R_cw, t_cw, pid, uv, tvalid, X)
+        if prep is None:
+            return X
+        prob, m = prep
+        n_kf, n_pts = len(R_cw), len(X)
         fx = float(self.K[0, 0])
         Xn, info = ba_ops.refine_points(
             prob, iters=self.cfg.ba.global_iters,

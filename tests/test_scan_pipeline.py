@@ -68,6 +68,39 @@ def test_ate_on_ring(scan_result):
     assert ratio < 0.05, f"scan-pipeline ATE {ratio:.3%} of extent"
 
 
+def test_fused_finalize_matches_host_refine(scan_result):
+    """The ONE-program finalize refinement (`_finalize_refine_core`,
+    segment-reduction first/last selection + in-place polish) must match
+    the host reference path (`_retriangulate`/`_refine_structure`,
+    lexsort + padded uploads) on the same drained state."""
+    from sfm_tpu.models import scan_pipeline as sp
+
+    ds, s = scan_result
+    X_fused = np.asarray(s._X, np.float64)  # finalize() took the fused path
+    c = s.carry
+    K_, T_ = c.ring.pid.shape
+    d = sp._unpack_drain(
+        np.asarray(sp._drain_stage(c), np.float64),
+        K_, T_, c.ring.desc.shape[1], c.X.shape[0])
+    n_kf = int(d["counts"][0])
+    n_pts = int(d["counts"][1])
+    R_cw, t_cw = d["R_cw"][:n_kf], d["t_cw"][:n_kf]
+    pid, uv, tvalid = d["pid"][:n_kf], d["uv"][:n_kf], d["tvalid"][:n_kf]
+    X = d["X"][:n_pts]
+    for r in range(s.refine_rounds):
+        if (s._pg_ran or r > 0) and n_pts >= 10:
+            X = s._retriangulate(R_cw, t_cw, pid, uv, tvalid, X)
+        if s.cfg.ba.global_iters > 0 and n_kf >= 3 and n_pts >= 10:
+            X = s._refine_structure(R_cw, t_cw, pid, uv, tvalid, X)
+    assert X_fused.shape == X.shape
+    # identical selection + LM math modulo f32 reduction order; a rare
+    # accept/reject flip on a near-tie can move individual points, so
+    # bound the bulk of the cloud, not the worst point
+    dd = np.linalg.norm(X_fused - X, axis=1)
+    assert np.median(dd) < 1e-5
+    assert np.quantile(dd, 0.99) < 1e-2
+
+
 def test_export_artifacts(scan_result, tmp_path):
     ds, s = scan_result
     info = s.export(tmp_path, dataset=ds)
