@@ -104,3 +104,49 @@ def test_out_and_back_orb_flavor(out_and_back):
         gi = ds.records[sys_.kfs[e.i].frame_idx].center
         gj = ds.records[sys_.kfs[e.j].frame_idx].center
         assert np.linalg.norm(gi - gj) < 0.2
+
+
+def test_gate_loop_candidates_unit():
+    """Host-side candidate gate (scan pipeline): score threshold, top-k
+    ordering, dedup, and the spatial-consistency pre-gate — pure numpy,
+    shared by the single-scene and multiscene paths."""
+    from sfm_tpu.config import LoopConfig
+    from sfm_tpu.models import scan_pipeline as sp
+
+    K = 16
+    # ring: 8 keyframes on a line, frames 0..7
+    rp = {
+        "t_cw": np.zeros((K, 3)),
+        "frame": np.arange(K, dtype=np.int64),
+        "kvalid": np.arange(K) < 8,
+        "n_kf": 8,
+    }
+    rp["t_cw"][:8, 0] = np.arange(8)  # unit odometry steps
+
+    def row(frame, kf, score, cand):
+        r = np.zeros(sp.NY)
+        r[sp.Y_VALID] = 1.0
+        r[sp.Y_KF] = float(kf)
+        r[sp.Y_FRAME] = frame
+        r[sp.Y_LOOP_S] = score
+        r[sp.Y_LOOP_K] = cand
+        return r
+
+    lcfg = LoopConfig(enabled=True, score_thresh=0.5, top_k=3)
+    ys = np.stack([
+        row(7, True, 0.9, 0),   # far pair (|c7-c0|=7 > gate) -> rejected
+        row(6, True, 0.8, 5),   # near pair -> kept
+        row(5, True, 0.4, 0),   # below threshold -> dropped
+        row(4, True, 0.7, 3),   # near pair -> kept (second by score)
+        row(4, False, 0.95, 0),  # not a keyframe -> dropped
+    ])
+    cands = sp.ScanSfM.gate_loop_candidates(ys, rp, lcfg)
+    assert cands == [(5, 6, 6), (3, 4, 4)]
+
+    # dedup: the same (cand, cur) pair scored twice gates once
+    ys2 = np.stack([row(6, True, 0.8, 5), row(6, True, 0.7, 5)])
+    assert sp.ScanSfM.gate_loop_candidates(ys2, rp, lcfg) == [(5, 6, 6)]
+
+    # nothing above threshold -> empty
+    ys3 = np.stack([row(6, True, 0.2, 5)])
+    assert sp.ScanSfM.gate_loop_candidates(ys3, rp, lcfg) == []
