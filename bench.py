@@ -560,5 +560,27 @@ def main():
     print(json.dumps(line))
 
 
+def _main_with_retry():
+    """The axon TPU tunnel occasionally fails to initialize
+    (UNAVAILABLE at backend setup) or drops mid-run; a failed backend is
+    process-fatal in jax, so retry the whole bench in a fresh child
+    process a few times before giving up."""
+    if os.environ.get("SFM_TPU_BENCH_CHILD") == "1":
+        main()
+        return
+    last = 1
+    for attempt in range(3):
+        r = subprocess.run(
+            [sys.executable, str(Path(__file__).resolve())],
+            env={**os.environ, "SFM_TPU_BENCH_CHILD": "1"})
+        last = r.returncode
+        if last == 0:
+            return
+        print(f"bench attempt {attempt + 1} failed (rc={last}); "
+              "retrying in 120 s", file=sys.stderr)
+        time.sleep(120)
+    sys.exit(last)
+
+
 if __name__ == "__main__":
-    main()
+    _main_with_retry()

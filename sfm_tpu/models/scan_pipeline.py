@@ -1745,14 +1745,13 @@ class ScanSfM:
         self._X = X
         self._ring_pid = pid  # (n_kf, T) observation matrix, for tooling
 
-    def _retri_prep(self, R_cw, t_cw, pid, uv, tvalid, X,
-                    Np: int | None = None):
+    def _retri_prep(self, R_cw, t_cw, pid, uv, tvalid, X):
         """Host-side prep for the first-vs-last DLT: pick each point's
         first/last observing keyframe and build the padded `_dlt_packed`
         operands. Returns ``(ops6, ok)`` — ``ops6`` the six (Np,…) numpy
-        operands, ``ok`` the (n_pts,) host validity mask. Split out so
-        the multiscene path can concatenate several scenes' operands
-        into ONE device call (parallel/multi_scan._refine_scenes)."""
+        operands, ``ok`` the (n_pts,) host validity mask. This is the
+        host reference twin of the selection inside
+        `_finalize_refine_core` (parity: test_scan_pipeline)."""
         from sfm_tpu.utils import np_geom
 
         n_pts = len(X)
@@ -1775,8 +1774,7 @@ class ScanSfM:
         # pad to a pow2 bucket: every reconstruction has a different
         # point count, and an unpadded shape would recompile the DLT
         # program per run (minutes over the remote-compile tunnel)
-        if Np is None:
-            Np = _next_pow2(n_pts, lo=1024)
+        Np = _next_pow2(n_pts, lo=1024)
 
         def pad(a, eye=False):
             out = (np.tile(np.eye(3, dtype=np.float32), (Np, 1, 1))
@@ -1806,16 +1804,12 @@ class ScanSfM:
                             np.float64)[: len(X)]  # one pull (X3, za, zb)
         return self._retri_post(packed, ok, X)
 
-    def _refine_prep(self, R_cw, t_cw, pid, uv, tvalid, X,
-                     F: int | None = None, P: int | None = None,
-                     M: int | None = None):
+    def _refine_prep(self, R_cw, t_cw, pid, uv, tvalid, X):
         """Host-side prep for the frozen-pose point polish: build the
         padded `ops/ba.BAProblem` (numpy leaves). Returns ``(prob, m)``,
         or ``None`` when there are fewer than 30 observations (degenerate
-        map segment — nothing worth polishing). Split out so the
-        multiscene path can stack several scenes' problems into ONE
-        vmapped `refine_points` program (same per-scene LM semantics —
-        the solves don't couple)."""
+        map segment — nothing worth polishing). Host reference twin of
+        the problem built inside `_finalize_refine_core`."""
         from sfm_tpu.utils import np_geom
 
         n_kf, T = pid.shape
@@ -1825,9 +1819,9 @@ class ScanSfM:
         m = len(kk)
         if m < 30:
             return None
-        F = F or _next_pow2(n_kf, lo=8)
-        P = P or _next_pow2(n_pts, lo=1024)
-        M = M or _next_pow2(m, lo=4096)
+        F = _next_pow2(n_kf, lo=8)
+        P = _next_pow2(n_pts, lo=1024)
+        M = _next_pow2(m, lo=4096)
         cam_idx = np.zeros(M, np.int32)
         pidx = np.zeros(M, np.int32)
         obs_n = np.zeros((M, 2))

@@ -31,7 +31,6 @@ import numpy as np
 
 from sfm_tpu.config import SystemConfig
 from sfm_tpu.models import scan_pipeline as sp
-from sfm_tpu.ops import ba as ba_ops
 
 log = logging.getLogger("sfm_tpu")
 
@@ -181,89 +180,61 @@ def _apply_pushback(carry, s, ring_R, ring_t, last_R, last_t):
             t_cw=carry.ring.t_cw.at[s].set(ring_t)))
 
 
-@partial(jax.jit, static_argnames=("iters",))
-def _refine_points_scenes(probs, iters, lambda0, huber_delta):
-    """ONE vmapped frozen-pose point polish for all scenes. Stacked (not
-    concatenated) problems: each scene keeps its own LM lambda/accept
-    trajectory, so per-scene results match the serial path exactly."""
-    def one(p):
-        Xn, info = ba_ops.refine_points.__wrapped__(
-            p, iters=iters, lambda0=lambda0, huber_delta=huber_delta)
-        return Xn, jnp.stack([info["cost0"], info["cost"]])
+@partial(jax.jit, static_argnames=("iters", "rounds"))
+def _finalize_refine_scenes_stage(Kf, carry, do0, later, enab, iters,
+                                  rounds, lambda0, huber_delta):
+    """`_finalize_refine_core` vmapped over the batched carry: ALL
+    scenes' re-triangulate + frozen-pose polish rounds in ONE program,
+    one (S, P*3+2) pull. Gate flags are traced per-scene scalars (the
+    single-scene wrapper uses static flags instead — lockstep scenes
+    almost always share them, so the masked dead work is negligible)."""
+    return jax.vmap(
+        lambda c, f0, fl, fe: sp._finalize_refine_core(
+            Kf, c.ring, c.X, c.n_pts, f0, fl, fe, iters, rounds,
+            lambda0, huber_delta)
+    )(carry, do0, later, enab)
 
-    return jax.vmap(one)(probs)
 
-
-def _refine_scenes(views, cfg) -> None:
+def _refine_scenes(views, cfg, carry) -> None:
     """Cross-scene batched twin of `ScanSfM.finalize`'s refinement loop
-    (finalize was called with ``refine=False``): re-triangulate every
-    scene's map in ONE `_dlt_packed` call and polish points in ONE
-    vmapped `refine_points` program, instead of 2×S serial device
+    (finalize was called with ``refine=False``): one vmapped
+    `_finalize_refine_core` program replaces 2×S serial device
     round-trips. Updates each view's ``_X`` in place."""
-    rounds = max((v.refine_rounds for v in views), default=0)
-    fx = float(views[0].K[0, 0]) if views else 1.0
-    for r in range(rounds):
-        st: dict[int, dict] = {}
-        for s, v in enumerate(views):
-            if r >= v.refine_rounds or len(v.kfs) < 1 or len(v._X) < 10:
-                continue
-            st[s] = dict(
-                R_cw=np.stack([kf.R_cw for kf in v.kfs]),
-                t_cw=np.stack([kf.t_cw for kf in v.kfs]),
-                uv=np.stack([kf.uv for kf in v.kfs]),
-                tvalid=np.stack([kf.valid for kf in v.kfs]),
-                pid=v._ring_pid, n_kf=len(v.kfs), n_pts=len(v._X))
-        # batched first-vs-last DLT re-triangulation (per-point closed
-        # form — concatenating scenes is exact)
-        idx = [s for s in st
-               if (views[s]._pg_ran or r > 0) and st[s]["n_pts"] >= 10]
-        if idx:
-            Np = max(sp._next_pow2(st[s]["n_pts"], lo=1024) for s in idx)
-            preps = {s: views[s]._retri_prep(
-                st[s]["R_cw"], st[s]["t_cw"], st[s]["pid"], st[s]["uv"],
-                st[s]["tvalid"], views[s]._X, Np=Np) for s in idx}
-            ops6 = [np.concatenate([preps[s][0][k] for s in idx])
-                    for k in range(6)]
-            packed = np.asarray(sp._dlt_packed(*ops6), np.float64)
-            for j, s in enumerate(idx):
-                seg = packed[j * Np:(j + 1) * Np][: st[s]["n_pts"]]
-                views[s]._X = sp.ScanSfM._retri_post(
-                    seg, preps[s][1], views[s]._X)
-        # batched frozen-pose structure refine
-        idx2 = [s for s in st
-                if cfg.ba.global_iters > 0 and st[s]["n_kf"] >= 3
-                and st[s]["n_pts"] >= 10]
-        if not idx2:
+    if not views:
+        return
+    rounds = views[0].refine_rounds
+    if rounds < 1:
+        return
+    do0, later, enab = [], [], []
+    for v in views:
+        n_kf, n_pts = len(v.kfs), len(v._X)
+        m = 0
+        if n_kf:
+            tval = np.stack([kf.valid for kf in v.kfs])
+            m = int((tval & (v._ring_pid >= 0)
+                     & (v._ring_pid < n_pts)).sum())
+        do0.append(bool(v._pg_ran and n_pts >= 10))
+        later.append(bool(n_pts >= 10))
+        enab.append(bool(cfg.ba.global_iters > 0 and n_kf >= 3
+                         and n_pts >= 10 and m >= 30))
+    touched = [d or e or (rounds > 1 and lt)
+               for d, lt, e in zip(do0, later, enab)]
+    if not any(touched):
+        return
+    fx = float(views[0].K[0, 0])
+    out = np.asarray(_finalize_refine_scenes_stage(
+        views[0]._Kj, carry, np.asarray(do0), np.asarray(later),
+        np.asarray(enab), iters=cfg.ba.global_iters, rounds=rounds,
+        lambda0=cfg.ba.lambda0,
+        huber_delta=cfg.ba.huber_delta / fx), np.float64)
+    for s, v in enumerate(views):
+        if not touched[s]:
             continue
-        F = max(sp._next_pow2(st[s]["n_kf"], lo=8) for s in idx2)
-        P = max(sp._next_pow2(st[s]["n_pts"], lo=1024) for s in idx2)
-        M = max(sp._next_pow2(
-            int((st[s]["tvalid"] & (st[s]["pid"] >= 0)
-                 & (st[s]["pid"] < st[s]["n_pts"])).sum()), lo=4096)
-            for s in idx2)
-        preps2 = {}
-        for s in idx2:
-            prep = views[s]._refine_prep(
-                st[s]["R_cw"], st[s]["t_cw"], st[s]["pid"], st[s]["uv"],
-                st[s]["tvalid"], views[s]._X, F=F, P=P, M=M)
-            if prep is not None:  # <30 obs: degenerate, skip
-                preps2[s] = prep
-        if not preps2:
-            continue
-        live = sorted(preps2)
-        probs = jax.tree.map(lambda *xs: np.stack(xs),
-                             *[preps2[s][0] for s in live])
-        Xn, costs = _refine_points_scenes(
-            probs, cfg.ba.global_iters, cfg.ba.lambda0,
-            cfg.ba.huber_delta / fx)
-        Xn = np.asarray(Xn, np.float64)
-        costs = np.asarray(costs, np.float64)
-        for j, s in enumerate(live):
-            views[s]._X = Xn[j][: st[s]["n_pts"]]
+        v._X = out[s, :-2].reshape(-1, 3)[: len(v._X)]
+        if enab[s]:
             log.info("structure refine (scene %d): cost %.3e -> %.3e "
-                     "(%d kfs, %d pts, %d obs)", s, costs[j, 0],
-                     costs[j, 1], st[s]["n_kf"], st[s]["n_pts"],
-                     preps2[s][1])
+                     "(%d kfs, %d pts)", s, out[s, -2], out[s, -1],
+                     len(v.kfs), len(v._X))
 
 
 def _writeback_scene_poses(carry, s, vc):
@@ -456,9 +427,9 @@ def run_scenes_scan(datasets, cfg: SystemConfig, frames: int | None = None,
         views[s].finalize(
             drained=sp._unpack_drain(drain_flat[s], K_, T_, D_, P_),
             refine=False)
-    # the refinement rounds run batched across scenes (ONE DLT call +
-    # ONE vmapped refine_points program instead of 2×S round-trips)
-    _refine_scenes(views, cfg)
+    # the refinement rounds run batched across scenes: one vmapped
+    # device program instead of 2×S round-trips
+    _refine_scenes(views, cfg, carry)
     tm["finalize"] = time.perf_counter() - t2
     if out_dirs is not None:
         for s in range(S):
