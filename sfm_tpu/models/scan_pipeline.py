@@ -1899,9 +1899,27 @@ class ScanSfM:
                 rvec=rvec, t=e.t_ji))
         artifacts.write_posegraph_edges(out / "posegraph_edges.csv",
                                         edge_rows)
+        culled = 0
         if self.cfg.export_geometry in (
                 ExportGeometry.POINTCLOUD, ExportGeometry.BOTH):
+            X = np.asarray(self._X, np.float64)
+            if self.kfs and len(X):
+                # cull export noise: a point whose best residual is past
+                # the BA gross-outlier gate carried zero weight in every
+                # solve (see np_geom.export_keep_mask)
+                fx = float(self.K[0, 0])
+                keep = np_geom.export_keep_mask(
+                    self.K, np.stack([kf.R_cw for kf in self.kfs]),
+                    np.stack([kf.center for kf in self.kfs]),
+                    np.stack([kf.uv for kf in self.kfs]),
+                    np.stack([kf.valid for kf in self.kfs]),
+                    self._ring_pid, X,
+                    thresh_norm=ba_ops._CUTOFF
+                    * self.cfg.ba.huber_delta / fx)
+                culled = int((~keep).sum())
+                X = X[keep]
             artifacts.write_ply_xyz(
-                out / "templeRing_sparse_points.ply", self._X)
+                out / "templeRing_sparse_points.ply", X)
         return {"keyframes": len(self.kfs), "map_points": len(self._X),
-                "edges": len(self.edges), "out": str(out)}
+                "culled": culled, "edges": len(self.edges),
+                "out": str(out)}

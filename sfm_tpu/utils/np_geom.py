@@ -74,3 +74,39 @@ def normalize_by_K(K: np.ndarray, pts: np.ndarray) -> np.ndarray:
     y = (pts[..., 1] - cy) / fy
     x = (pts[..., 0] - cx - s * y) / fx
     return np.stack([x, y], axis=-1)
+
+
+def export_keep_mask(K, R_cw, t_cw, uv, tvalid, pid, X,
+                     thresh_norm: float) -> np.ndarray:
+    """Per-point keep mask for artifact export.
+
+    Keep a point iff its BEST (minimum) reprojection residual over all
+    observing keyframes is within ``thresh_norm`` (K-normalized units)
+    and in front of that camera. A point past the window BA's
+    gross-outlier gate (ops/ba._CUTOFF x huber) carried zero weight in
+    every solve — it is pure noise in the exported PLY. The reference
+    exports every triangulated point after its RANSAC gates
+    (cpp:1877-1893); this applies the same robust-kernel cutoff the
+    in-loop BA already used.
+
+    ``R_cw`` (F,3,3) camera-to-world rotations, ``t_cw`` (F,3) camera
+    centers, ``uv`` (F,T,2) pixel observations, ``tvalid`` (F,T),
+    ``pid`` (F,T) per-slot point ids. Returns (len(X),) bool."""
+    n_pts = len(X)
+    if n_pts == 0 or len(R_cw) == 0:
+        return np.ones(n_pts, bool)
+    kk, ss = np.nonzero(tvalid & (pid >= 0) & (pid < n_pts))
+    if len(kk) == 0:
+        return np.zeros(n_pts, bool)
+    p = pid[kk, ss]
+    R_wc = np.swapaxes(R_cw, -1, -2)
+    t_wc = -np.einsum("fij,fj->fi", R_wc, t_cw)
+    Xc = np.einsum("oij,oj->oi", R_wc[kk], X[p]) + t_wc[kk]
+    z = Xc[:, 2]
+    proj = Xc[:, :2] / np.where(np.abs(z) < 1e-6, 1e-6, z)[:, None]
+    obs = normalize_by_K(K, uv[kk, ss])
+    err = np.linalg.norm(proj - obs, axis=1)
+    err = np.where(z > 1e-6, err, np.inf)
+    best = np.full(n_pts, np.inf)
+    np.minimum.at(best, p, err)
+    return best < thresh_norm

@@ -101,9 +101,40 @@ def test_fused_finalize_matches_host_refine(scan_result):
     assert np.quantile(dd, 0.99) < 1e-2
 
 
+def test_export_keep_mask_unit():
+    """Export cull: a point that reprojects well everywhere is kept; a
+    corrupted point whose BEST residual exceeds the gross-outlier gate
+    is culled; a behind-camera point is culled."""
+    from sfm_tpu.utils import np_geom
+
+    K = np.array([[100.0, 0, 64], [0, 100.0, 48], [0, 0, 1]])
+    F, T = 2, 3
+    R_cw = np.tile(np.eye(3), (F, 1, 1))
+    C = np.zeros((F, 3))
+    C[1, 0] = 0.5  # second camera translated in x
+    X = np.array([[0.0, 0.0, 4.0],   # good
+                  [1.0, 0.5, 4.0],   # will be corrupted in uv
+                  [0.0, 0.0, -4.0]])  # behind both cameras
+    pid = np.array([[0, 1, 2], [0, 1, 2]])
+    tvalid = np.ones((F, T), bool)
+    uv = np.zeros((F, T, 2))
+    for f in range(F):
+        for t in range(T):
+            Xc = R_cw[f].T @ (X[pid[f, t]] - C[f])
+            z = Xc[2] if abs(Xc[2]) > 1e-9 else 1e-9
+            uv[f, t] = (K[:2, :2] @ (Xc[:2] / z)) + K[:2, 2]
+    uv[:, 1, 0] += 500.0  # corrupt BOTH observations of point 1
+    keep = np_geom.export_keep_mask(K, R_cw, C, uv, tvalid, pid, X,
+                                    thresh_norm=0.03)
+    assert keep.tolist() == [True, False, False]
+
+
 def test_export_artifacts(scan_result, tmp_path):
     ds, s = scan_result
     info = s.export(tmp_path, dataset=ds)
+    # the export cull only removes gross-outlier noise — the bulk of a
+    # healthy reconstruction survives
+    assert info["culled"] <= 0.1 * info["map_points"]
     assert (tmp_path / "keyframes_camera_centers.csv").exists()
     assert (tmp_path / "posegraph_edges.csv").exists()
     assert (tmp_path / "templeRing_sparse_points.ply").exists()
