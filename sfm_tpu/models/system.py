@@ -1145,15 +1145,35 @@ class SfMSystem:
         # (ref py:1546-1557 gates on export_geometry; cpp:1887 likewise)
         from sfm_tpu.config import ExportGeometry
 
+        culled = 0
         if self.cfg.export_geometry in (
             ExportGeometry.POINTCLOUD, ExportGeometry.BOTH
         ):
+            X = self.map.xyz()
+            m = self.map
+            if self.kfs and len(X) and m._n_obs:
+                # cull export noise, same robust-kernel cutoff as the
+                # scan pipeline's export (np_geom.export_keep_mask)
+                from sfm_tpu.ops import ba as ba_ops
+
+                fx = float(self.K[0, 0])
+                keep = np_geom.export_keep_mask_obs(
+                    self.K,
+                    np.stack([kf.R_cw for kf in self.kfs]),
+                    np.stack([kf.center for kf in self.kfs]),
+                    m._obs_kf[: m._n_obs], m._obs_pid[: m._n_obs],
+                    m._obs_uv[: m._n_obs], np.asarray(X, np.float64),
+                    thresh_norm=ba_ops._CUTOFF
+                    * self.cfg.ba.huber_delta / fx)
+                culled = int((~keep).sum())
+                X = np.asarray(X)[keep]
             artifacts.write_ply_xyz(
-                out / "templeRing_sparse_points.ply", self.map.xyz()
+                out / "templeRing_sparse_points.ply", X
             )
         return {
             "keyframes": len(self.kfs),
             "map_points": self.map.num_points,
+            "culled": culled,
             "edges": len(self.edges),
             "out": str(out),
         }

@@ -98,15 +98,28 @@ def export_keep_mask(K, R_cw, t_cw, uv, tvalid, pid, X,
     kk, ss = np.nonzero(tvalid & (pid >= 0) & (pid < n_pts))
     if len(kk) == 0:
         return np.zeros(n_pts, bool)
-    p = pid[kk, ss]
+    return export_keep_mask_obs(K, R_cw, t_cw, kk, pid[kk, ss],
+                                uv[kk, ss], X, thresh_norm)
+
+
+def export_keep_mask_obs(K, R_cw, t_cw, obs_kf, obs_pid, obs_uv, X,
+                         thresh_norm: float) -> np.ndarray:
+    """Flat-observation-table form of `export_keep_mask` (host
+    pipeline's MapState obs layout): ``obs_kf``/``obs_pid`` (M,) indices
+    into poses/points, ``obs_uv`` (M,2) pixels."""
+    n_pts = len(X)
+    if n_pts == 0:
+        return np.ones(0, bool)
+    if len(obs_kf) == 0:
+        return np.zeros(n_pts, bool)
     R_wc = np.swapaxes(R_cw, -1, -2)
     t_wc = -np.einsum("fij,fj->fi", R_wc, t_cw)
-    Xc = np.einsum("oij,oj->oi", R_wc[kk], X[p]) + t_wc[kk]
+    Xc = np.einsum("oij,oj->oi", R_wc[obs_kf], X[obs_pid]) + t_wc[obs_kf]
     z = Xc[:, 2]
     proj = Xc[:, :2] / np.where(np.abs(z) < 1e-6, 1e-6, z)[:, None]
-    obs = normalize_by_K(K, uv[kk, ss])
+    obs = normalize_by_K(K, obs_uv)
     err = np.linalg.norm(proj - obs, axis=1)
     err = np.where(z > 1e-6, err, np.inf)
     best = np.full(n_pts, np.inf)
-    np.minimum.at(best, p, err)
+    np.minimum.at(best, obs_pid, err)
     return best < thresh_norm
