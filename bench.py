@@ -570,15 +570,21 @@ def _main_with_retry():
         return
     last = 1
     for attempt in range(3):
+        # buffer the child's stdout: a crashed attempt must not leak
+        # partial JSON metric lines into the stream a consumer parses
         r = subprocess.run(
             [sys.executable, str(Path(__file__).resolve())],
-            env={**os.environ, "SFM_TPU_BENCH_CHILD": "1"})
+            env={**os.environ, "SFM_TPU_BENCH_CHILD": "1"},
+            stdout=subprocess.PIPE, text=True)
         last = r.returncode
         if last == 0:
+            sys.stdout.write(r.stdout)
             return
-        print(f"bench attempt {attempt + 1} failed (rc={last}); "
-              "retrying in 120 s", file=sys.stderr)
-        time.sleep(120)
+        print(f"bench attempt {attempt + 1} failed (rc={last})",
+              file=sys.stderr)
+        if attempt < 2:
+            print("retrying in 120 s", file=sys.stderr)
+            time.sleep(120)
     sys.exit(last)
 
 

@@ -1237,6 +1237,11 @@ class ScanSfM:
         if lcfg.device_verify:
             self._collect_device_loops(ys)
             return
+        # cheap ys-only pre-gate: most chunks have no above-threshold
+        # candidate — skip the ~30 ms ring-pose pull entirely
+        if not ((ys[:, Y_VALID] > 0.5) & (ys[:, Y_KF] > 0.5)
+                & (ys[:, Y_LOOP_S] > lcfg.score_thresh)).any():
+            return
         K_ = self.carry.ring.pid.shape[0]
         rp = _unpack_ring_poses(
             np.asarray(_ring_pose_stage(self.carry), np.float64), K_)
@@ -1247,11 +1252,19 @@ class ScanSfM:
             self._pose_graph_pushback(pr=rp)
 
     def _verify_candidates(self, cands: list[tuple[int, int, int]],
-                           rp: dict) -> bool:
-        """Run the LK+PnP device verification on already-gated
+                           rp: dict, verify=None) -> bool:
+        """Run the loop verification on already-gated
         ``(cand_kf, cur_kf, cur_frame)`` pairs, appending surviving
         ``Edge``s. Returns True if any edge was added (caller runs the
-        pose-graph pushback)."""
+        pose-graph pushback).
+
+        ``verify``: optional ``(cand_kf, cur_kf, old_img, new_img, cs)
+        -> Edge | None`` override — the multiscene path substitutes its
+        fused batched-carry stage (parallel/multi_scan) while sharing
+        this orchestration (image fetch, edge append, metrics
+        annotation)."""
+        if verify is None:
+            verify = self._verify_loop
         cs = rp["t_cw"][: rp["n_kf"]]
         frames = rp["frame"]
         found = False
@@ -1260,8 +1273,7 @@ class ScanSfM:
             new_img = self._images.get(cur_frame)
             if old_img is None or new_img is None:
                 continue  # image not retained (non-keyframe or pre-resume)
-            edge = self._verify_loop(cand_kf, cur_kf, old_img, new_img,
-                                     cs=cs)
+            edge = verify(cand_kf, cur_kf, old_img, new_img, cs=cs)
             if edge is None:
                 continue
             self.loop_edges.append(edge)

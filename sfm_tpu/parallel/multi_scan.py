@@ -342,7 +342,12 @@ def run_scenes_scan(datasets, cfg: SystemConfig, frames: int | None = None,
                 v._images[int(fi)] = images[s][int(fi)]
             if not cfg.loop.enabled:
                 continue
-            if (kf_rows[:, sp.Y_LOOP_S] > cfg.loop.score_thresh).any():
+            # ORB candidates come from the ORB match bank, scored per new
+            # keyframe — any keyframe in the chunk is a candidate scene;
+            # the descriptor flavor pre-gates on the ring score
+            if (len(kf_rows) if cfg.loop.method == "orb" else
+                    (kf_rows[:, sp.Y_LOOP_S]
+                     > cfg.loop.score_thresh).any()):
                 maybe.append(s)
         if maybe and cfg.loop.method == "orb":
             # ORB candidates come from the view's descriptor bank, not
@@ -367,16 +372,11 @@ def run_scenes_scan(datasets, cfg: SystemConfig, frames: int | None = None,
                     ys_c[s], rp, cfg.loop)
                 if not cands:
                     continue
-                cs = rp["t_cw"][: rp["n_kf"]]
-                frames_s = rp["frame"]
                 kcfg = cfg.klt
                 fx = float(v.K[0, 0])
-                found = False
-                for cand_kf, cur_kf, cur_frame in cands:
-                    old_img = v._images.get(int(frames_s[cand_kf]))
-                    new_img = v._images.get(cur_frame)
-                    if old_img is None or new_img is None:
-                        continue
+
+                def verify(cand_kf, cur_kf, old_img, new_img, cs=None,
+                           v=v, s=s):
                     pack = np.asarray(_verify_scene_stage(
                         v._Kj, jnp.asarray(old_img),
                         jnp.asarray(new_img), carry,
@@ -390,19 +390,12 @@ def run_scenes_scan(datasets, cfg: SystemConfig, frames: int | None = None,
                         # unmapped old keyframe — rare E-RANSAC fallback
                         # through the per-scene path (needs the slice)
                         v.carry = jax.tree.map(lambda a: a[s], carry)
-                        edge = v._verify_loop(cand_kf, cur_kf, old_img,
+                        return v._verify_loop(cand_kf, cur_kf, old_img,
                                               new_img, cs=cs)
-                    else:
-                        edge = v._pnp_edge_from_pack(pack, cand_kf,
-                                                     cur_kf, cs=cs)
-                    if edge is None:
-                        continue
-                    v.loop_edges.append(edge)
-                    found = True
-                    log.info("loop closure (scene %d) %d -> %d "
-                             "(inliers %d)", s, cand_kf, cur_kf,
-                             edge.inliers)
-                if found:
+                    return v._pnp_edge_from_pack(pack, cand_kf, cur_kf,
+                                                 cs=cs)
+
+                if v._verify_candidates(cands, rp, verify=verify):
                     solved = v._pose_graph_solve(rp)
                     if solved is not None:
                         ring_R, ring_t = solved

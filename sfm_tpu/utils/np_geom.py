@@ -97,7 +97,9 @@ def export_keep_mask(K, R_cw, t_cw, uv, tvalid, pid, X,
         return np.ones(n_pts, bool)
     kk, ss = np.nonzero(tvalid & (pid >= 0) & (pid < n_pts))
     if len(kk) == 0:
-        return np.zeros(n_pts, bool)
+        # no observations at all: no signal to cull on — export
+        # everything (matches the host pipeline's empty-obs gate)
+        return np.ones(n_pts, bool)
     return export_keep_mask_obs(K, R_cw, t_cw, kk, pid[kk, ss],
                                 uv[kk, ss], X, thresh_norm)
 
@@ -111,7 +113,7 @@ def export_keep_mask_obs(K, R_cw, t_cw, obs_kf, obs_pid, obs_uv, X,
     if n_pts == 0:
         return np.ones(0, bool)
     if len(obs_kf) == 0:
-        return np.zeros(n_pts, bool)
+        return np.ones(n_pts, bool)  # no signal to cull on
     R_wc = np.swapaxes(R_cw, -1, -2)
     t_wc = -np.einsum("fij,fj->fi", R_wc, t_cw)
     Xc = np.einsum("oij,oj->oi", R_wc[obs_kf], X[obs_pid]) + t_wc[obs_kf]
