@@ -68,15 +68,12 @@ def test_ate_on_ring(scan_result):
     assert ratio < 0.05, f"scan-pipeline ATE {ratio:.3%} of extent"
 
 
-def test_fused_finalize_matches_host_refine(scan_result):
-    """The ONE-program finalize refinement (`_finalize_refine_core`,
-    segment-reduction first/last selection + in-place polish) must match
-    the host reference path (`_retriangulate`/`_refine_structure`,
-    lexsort + padded uploads) on the same drained state."""
+def _host_refine_twin(s):
+    """Recompute finalize's refinement rounds through the host reference
+    twins (`_retriangulate`/`_refine_structure`) on the same drained
+    state; returns the refined X (host twin of `_finalize_refine_core`)."""
     from sfm_tpu.models import scan_pipeline as sp
 
-    ds, s = scan_result
-    X_fused = np.asarray(s._X, np.float64)  # finalize() took the fused path
     c = s.carry
     K_, T_ = c.ring.pid.shape
     d = sp._unpack_drain(
@@ -92,13 +89,29 @@ def test_fused_finalize_matches_host_refine(scan_result):
             X = s._retriangulate(R_cw, t_cw, pid, uv, tvalid, X)
         if s.cfg.ba.global_iters > 0 and n_kf >= 3 and n_pts >= 10:
             X = s._refine_structure(R_cw, t_cw, pid, uv, tvalid, X)
-    assert X_fused.shape == X.shape
-    # identical selection + LM math modulo f32 reduction order; a rare
-    # accept/reject flip on a near-tie can move individual points, so
-    # bound the bulk of the cloud, not the worst point
-    dd = np.linalg.norm(X_fused - X, axis=1)
+    return X
+
+
+def _assert_fused_matches_host(s):
+    """Bulk-of-cloud agreement between the fused finalize result
+    (``s._X``) and the host twin: identical selection + LM math modulo
+    f32 reduction order; a rare accept/reject flip on a near-tie can
+    move individual points, so bound the bulk, not the worst point."""
+    X_fused = np.asarray(s._X, np.float64)
+    X_host = _host_refine_twin(s)
+    assert X_fused.shape == X_host.shape
+    dd = np.linalg.norm(X_fused - X_host, axis=1)
     assert np.median(dd) < 1e-5
     assert np.quantile(dd, 0.99) < 1e-2
+
+
+def test_fused_finalize_matches_host_refine(scan_result):
+    """The ONE-program finalize refinement (`_finalize_refine_core`,
+    segment-reduction first/last selection + in-place polish) must match
+    the host reference path (`_retriangulate`/`_refine_structure`,
+    lexsort + padded uploads) on the same drained state."""
+    ds, s = scan_result
+    _assert_fused_matches_host(s)
 
 
 def test_export_keep_mask_unit():
@@ -204,6 +217,9 @@ def test_scan_loop_closure_and_pose_graph(out_and_back_ds, device_verify):
     res = umeyama.ate(jnp.asarray(est), jnp.asarray(gt), with_scale=True)
     extent = float(np.linalg.norm(gt - gt.mean(0), axis=1).max())
     assert float(res["rmse"]) / extent < 0.06
+    # with a pose graph having run, the fused finalize also exercised
+    # its RE-TRIANGULATION path — check parity vs the host twins
+    _assert_fused_matches_host(s)
 
 
 def test_observation_backfill(scan_result):
