@@ -160,3 +160,28 @@ def test_multi_scene_loop_closure_and_export(two_out_and_back, tmp_path):
         r = umeyama.ate(jnp.asarray(est), jnp.asarray(gt), with_scale=True)
         extent = float(np.linalg.norm(gt - gt.mean(0), axis=1).max())
         assert float(r["rmse"]) / extent < 0.06, f"scene {s}"
+
+
+def test_single_scene_equivalence(four_rings):
+    """A 1-scene multiscene run must reproduce the single-scene ScanSfM
+    pipeline: identical keyframe schedule, matching geometry (the scene
+    axis only batches — it must not change per-scene semantics)."""
+    import jax.numpy as jnp  # noqa: F401  (backend warm)
+
+    from sfm_tpu.models.scan_pipeline import ScanSfM
+    from sfm_tpu.parallel.multi_scan import run_scenes_scan
+
+    ds = four_rings[0]
+    cfg = _small_cfg()
+    res = run_scenes_scan([ds], cfg, frames=8, chunk=4, p_cap=4096,
+                          p_ba=256)
+    s = ScanSfM(ds.K, cfg, n_frames=8, chunk=4, p_cap=4096, p_ba=256)
+    for i in range(8):
+        s.process(i, ds.records[i].img, ds.load_gray(i))
+    s.finalize()
+    np.testing.assert_array_equal(
+        res["kf_frames"][0], np.asarray([kf.frame_idx for kf in s.kfs]))
+    est_ss = np.stack([kf.center for kf in s.kfs])
+    np.testing.assert_allclose(res["centers"][0], est_ss, atol=1e-3)
+    n_ms, n_ss = int(res["n_points"][0]), len(s._X)
+    assert abs(n_ms - n_ss) <= 0.05 * max(n_ss, 1), (n_ms, n_ss)
