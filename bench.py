@@ -580,6 +580,10 @@ def _main_with_retry():
         if last == 0:
             sys.stdout.write(r.stdout)
             return
+        # keep the parseable stdout stream clean, but don't lose the
+        # failed attempt's partial metric lines — relay them to stderr
+        if r.stdout:
+            sys.stderr.write(r.stdout)
         print(f"bench attempt {attempt + 1} failed (rc={last})",
               file=sys.stderr)
         if attempt < 2:

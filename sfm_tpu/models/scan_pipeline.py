@@ -1168,6 +1168,15 @@ class ScanSfM:
 
     # -- loop closure + pose graph (between chunks) ---------------------
     @staticmethod
+    def loop_candidate_rows(ys: np.ndarray, lcfg) -> np.ndarray:
+        """Row mask of above-threshold loop candidates in a pulled
+        metrics array — THE candidate predicate, shared by the
+        pre-gate, `gate_loop_candidates`, and the multiscene maybe-gate
+        so the three cannot drift apart."""
+        return ((ys[:, Y_VALID] > 0.5) & (ys[:, Y_KF] > 0.5)
+                & (ys[:, Y_LOOP_S] > lcfg.score_thresh))
+
+    @staticmethod
     def gate_loop_candidates(ys: np.ndarray, rp: dict,
                              lcfg) -> list[tuple[int, int, int]]:
         """Host-side (numpy-only) candidate gate: from the chunk's pulled
@@ -1189,8 +1198,7 @@ class ScanSfM:
         skipping far-apart candidates saves a ~300 ms device verification
         each (measured: ~10 false verifications per bench run without
         it)."""
-        rows = ys[(ys[:, Y_VALID] > 0.5) & (ys[:, Y_KF] > 0.5)
-                  & (ys[:, Y_LOOP_S] > lcfg.score_thresh)]
+        rows = ys[ScanSfM.loop_candidate_rows(ys, lcfg)]
         if len(rows) == 0:
             return []
         order = np.argsort(-rows[:, Y_LOOP_S])[: max(lcfg.top_k, 1)]
@@ -1239,8 +1247,7 @@ class ScanSfM:
             return
         # cheap ys-only pre-gate: most chunks have no above-threshold
         # candidate — skip the ~30 ms ring-pose pull entirely
-        if not ((ys[:, Y_VALID] > 0.5) & (ys[:, Y_KF] > 0.5)
-                & (ys[:, Y_LOOP_S] > lcfg.score_thresh)).any():
+        if not self.loop_candidate_rows(ys, lcfg).any():
             return
         K_ = self.carry.ring.pid.shape[0]
         rp = _unpack_ring_poses(
@@ -1252,7 +1259,8 @@ class ScanSfM:
             self._pose_graph_pushback(pr=rp)
 
     def _verify_candidates(self, cands: list[tuple[int, int, int]],
-                           rp: dict, verify=None) -> bool:
+                           rp: dict, verify=None,
+                           label: str = "") -> bool:
         """Run the loop verification on already-gated
         ``(cand_kf, cur_kf, cur_frame)`` pairs, appending surviving
         ``Edge``s. Returns True if any edge was added (caller runs the
@@ -1282,8 +1290,8 @@ class ScanSfM:
                 if met.get("frame") == cur_frame:
                     met["loop"] = (cand_kf, cur_kf)
                     break
-            log.info("loop closure %d -> %d (inliers %d)", cand_kf,
-                     cur_kf, edge.inliers)
+            log.info("loop closure%s %d -> %d (inliers %d)", label,
+                     cand_kf, cur_kf, edge.inliers)
         return found
 
     def _collect_device_loops(self, ys: np.ndarray) -> None:

@@ -252,7 +252,7 @@ def _writeback_scene_poses(carry, s, vc):
 
 def run_scenes_scan(datasets, cfg: SystemConfig, frames: int | None = None,
                     chunk: int = 16, p_cap: int = 16384, p_ba: int = 1024,
-                    seed: int = 0, images=None, mesh=None,
+                    seed: int | None = None, images=None, mesh=None,
                     gated: bool = True, out_dirs=None):
     """Reconstruct N scenes in lockstep with full per-scene mapping + BA,
     loop closure, pose graph, and finalize/export — the same work as a
@@ -287,7 +287,13 @@ def run_scenes_scan(datasets, cfg: SystemConfig, frames: int | None = None,
         images = [[d.load_gray(i) for i in range(n)] for d in datasets]
     kf_cap = sp._next_pow2(n + 1, lo=16)
     Kf = jnp.asarray(datasets[0].K, jnp.float32)
-    keys = jax.random.split(jax.random.PRNGKey(seed), S)
+    # scene 0 gets the EXACT single-scene RNG stream (ScanSfM seeds from
+    # cfg.ransac.seed): adding scenes must not perturb a scene's result
+    # (test_single_scene_equivalence); later scenes fold in their index
+    base = jax.random.PRNGKey(cfg.ransac.seed if seed is None else seed)
+    keys = jnp.stack([base] + [jax.random.fold_in(base, s)
+                               for s in range(1, S)]) if S > 1 \
+        else base[None]
 
     shard = None
     if mesh is not None:
@@ -346,13 +352,20 @@ def run_scenes_scan(datasets, cfg: SystemConfig, frames: int | None = None,
             # keyframe — any keyframe in the chunk is a candidate scene;
             # the descriptor flavor pre-gates on the ring score
             if (len(kf_rows) if cfg.loop.method == "orb" else
-                    (kf_rows[:, sp.Y_LOOP_S]
-                     > cfg.loop.score_thresh).any()):
+                    sp.ScanSfM.loop_candidate_rows(rows, cfg.loop).any()):
                 maybe.append(s)
         if maybe and cfg.loop.method == "orb":
             # ORB candidates come from the view's descriptor bank, not
-            # the ring scores — fall back to the per-scene path
+            # the ring scores — fall back to the per-scene path. One
+            # batched pose pull gates on keyframe count first: a full
+            # carry slice costs ~20 eager dispatches and no scene can
+            # close a loop before min_kf_gap keyframes exist.
+            K_ = int(carry.ring.pid.shape[1])
+            rp_flat = np.asarray(_ring_pose_stage_scenes(carry),
+                                 np.float64)
             for s in maybe:
+                if int(rp_flat[s][K_ * 28]) <= cfg.loop.min_kf_gap:
+                    continue
                 v = views[s]
                 v.carry = jax.tree.map(lambda a: a[s], carry)
                 n0 = len(v.loop_edges)
@@ -395,7 +408,8 @@ def run_scenes_scan(datasets, cfg: SystemConfig, frames: int | None = None,
                     return v._pnp_edge_from_pack(pack, cand_kf, cur_kf,
                                                  cs=cs)
 
-                if v._verify_candidates(cands, rp, verify=verify):
+                if v._verify_candidates(cands, rp, verify=verify,
+                                        label=f" (scene {s})"):
                     solved = v._pose_graph_solve(rp)
                     if solved is not None:
                         ring_R, ring_t = solved
