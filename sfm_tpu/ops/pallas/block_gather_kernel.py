@@ -48,25 +48,43 @@ def _kernel(starts_ref, img_ref, out_ref, *, WIN: int, TB: int,
             interpret: bool):
     WIN_AL = WIN + ROW_SLACK
 
+    # Everything below sticks to raw i32 lax primitives. Under
+    # jax_enable_x64 (the package default) jnp sugar is a compile-time
+    # trap in two distinct ways, both hit here before being fixed:
+    #   * jnp.floor_divide / jnp.where with Python-int operands
+    #     materialize i64 constants whose i64->i32 convert makes
+    #     Mosaic's _convert_helper recurse forever (RecursionError);
+    #   * even with i32-only operands they trace as inner `jit`
+    #     closures that Mosaic RE-TRACES at lowering time under the
+    #     global x64 flag, reintroducing i64 ("failed to legalize
+    #     func.return (i32, i64)").
+    # lax.div/rem/sub have direct Mosaic lowering rules, no re-trace.
+    lane = jnp.int32(LANE)
+    two_lane = jnp.int32(2 * LANE)
+    eight = jnp.int32(8)
+
     def body(t, carry):
         sy8 = starts_ref[t, 1]  # pre-aligned by the wrapper
         sx = starts_ref[t, 0]
-        tx = (sx // LANE) * LANE  # provably 128-aligned lane-tile start
-        strip = img_ref[pl.ds((sy8 // 8) * 8, WIN_AL),
+        # non-negative (wrapper clamps), so trunc-div == floor-div
+        tx = jax.lax.div(sx, lane) * lane  # 128-aligned tile start
+        strip = img_ref[pl.ds(jax.lax.div(sy8, eight) * eight, WIN_AL),
                         pl.ds(tx, 2 * LANE)]  # (WIN_AL, 256)
         lx = sx - tx  # 0..127 in-tile column remainder
         # left-rotate lanes so column lx lands at 0 (jnp.roll moves
-        # i -> i+s, so s = -lx; the hardware rotate wants non-negative)
+        # i -> i+s, so s = -lx; the hardware rotate wants a
+        # non-negative shift: (2*LANE - lx) % 2*LANE, 0 when lx == 0)
         if interpret:
             rolled = jnp.roll(strip, -lx, axis=1)
         else:
             rolled = pltpu.roll(
-                strip, jnp.where(lx == 0, 0, jnp.int32(2 * LANE) - lx),
-                axis=1)
+                strip, jax.lax.rem(two_lane - lx, two_lane), axis=1)
         out_ref[pl.ds(t, 1)] = rolled[:, :WIN][None]
         return carry
 
-    jax.lax.fori_loop(0, TB, body, 0)
+    # i32-pinned bounds/carry for the same x64 reason
+    jax.lax.fori_loop(jnp.int32(0), jnp.int32(TB), body,
+                      jnp.int32(0))
 
 
 @functools.partial(jax.jit, static_argnames=("WIN", "TB", "interpret"))
@@ -114,14 +132,19 @@ def load_blocks_pallas(img, starts, WIN: int, TB: int = 256,
         in_specs=[
             # per-step (TB,2) slice of the starts in SMEM (scalar reads);
             # prefetching ALL starts as a scalar operand blew the 1 MB
-            # SMEM budget at bench scale
-            pl.BlockSpec((TB, 2), lambda g: (g, 0),
+            # SMEM budget at bench scale.
+            # Index-map literals are explicit i32: under jax_enable_x64
+            # a Python `0` traces as i64 and Mosaic cannot legalize the
+            # map's `func.return (i32, i64)`.
+            pl.BlockSpec((TB, 2), lambda g: (g, jnp.int32(0)),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((H + ROW_SLACK, W_pad), lambda g: (0, 0),
+            pl.BlockSpec((H + ROW_SLACK, W_pad),
+                         lambda g: (jnp.int32(0), jnp.int32(0)),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((TB, WIN + ROW_SLACK, WIN),
-                               lambda g: (g, 0, 0)),
+        out_specs=pl.BlockSpec(
+            (TB, WIN + ROW_SLACK, WIN),
+            lambda g: (g, jnp.int32(0), jnp.int32(0))),
         out_shape=jax.ShapeDtypeStruct((T_pad, WIN + ROW_SLACK, WIN),
                                        img.dtype),
         interpret=interpret,

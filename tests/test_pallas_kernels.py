@@ -144,3 +144,78 @@ def test_lk_track_pallas_path_bit_identical(rng, monkeypatch):
         outs[flag] = (np.asarray(p), np.asarray(ok))
     np.testing.assert_array_equal(outs["0"][0], outs["1"][0])
     np.testing.assert_array_equal(outs["0"][1], outs["1"][1])
+
+
+def test_pallas_kernels_x64_clean():
+    """Under jax_enable_x64 (the package default) the Pallas kernel
+    jaxprs and BlockSpec index maps must stay 64-bit-free: a stray i64
+    (a Python-int `//` divisor, `where` literal, fori_loop bound, or
+    index-map `0`) either makes Mosaic's convert-element-type helper
+    recurse forever at compile time (RecursionError) or fails MLIR
+    legalization ("func.return (i32, i64)") on real hardware — CPU
+    interpret-mode tests never see it. Trace-level check, CPU-safe."""
+    import jax
+
+    from sfm_tpu.ops.pallas.block_gather_kernel import load_blocks_pallas
+
+    assert jax.config.jax_enable_x64  # the package default enables it
+
+    def pallas_eqns(jaxpr):
+        for eqn in jaxpr.eqns:
+            if eqn.primitive.name == "pallas_call":
+                yield eqn
+            for v in eqn.params.values():
+                if hasattr(v, "jaxpr"):
+                    yield from pallas_eqns(v.jaxpr)
+
+    from jax._src.core import Literal
+
+    def assert_no_64bit(jaxpr, where):
+        # Literal operands (e.g. the constant `1` in a `ref[c, 1]` read)
+        # fold statically in Mosaic and are safe at any width; the
+        # compile-time failures come from 64-bit VARIABLES — including
+        # inner-jit closure binders that a literal i64 argument creates.
+        for eqn in jaxpr.eqns:
+            for v in (*eqn.invars, *eqn.outvars):
+                if isinstance(v, Literal):
+                    continue
+                dt = getattr(getattr(v, "aval", None), "dtype", None)
+                if dt is not None:
+                    assert jnp.dtype(dt).itemsize <= 4, (
+                        f"64-bit {dt} in {where}: {eqn}")
+            for p in eqn.params.values():
+                if hasattr(p, "jaxpr"):
+                    inner = p.jaxpr
+                    inner = getattr(inner, "jaxpr", inner)
+                    assert_no_64bit(inner, where)
+
+    traces = []
+    img = jnp.zeros((64, 256), jnp.float32)
+    starts = jnp.zeros((512, 2), jnp.int32)
+    traces.append(jax.make_jaxpr(
+        lambda i, s: load_blocks_pallas(i, s, 13))(img, starts))
+    traces.append(jax.make_jaxpr(
+        lambda i: shi_tomasi_kernel.shi_tomasi_score_pallas(
+            i, block_radius=2))(img))
+
+    found = 0
+    for jx in traces:
+        for eqn in pallas_eqns(jx.jaxpr):
+            found += 1
+            inner = eqn.params["jaxpr"]
+            inner = getattr(inner, "jaxpr", inner)
+            assert_no_64bit(inner, "kernel body")
+            for bm in eqn.params["grid_mapping"].block_mappings:
+                imj = bm.index_map_jaxpr.jaxpr
+                assert_no_64bit(imj, "index map")
+                if not imj.invars:
+                    # pallas-synthesized constant map for a whole-array
+                    # BlockSpec: folds before MLIR, width is harmless
+                    # (and not ours to control)
+                    continue
+                for v in imj.outvars:
+                    dt = getattr(getattr(v, "aval", None), "dtype", None)
+                    if dt is not None:
+                        assert jnp.dtype(dt).itemsize <= 4, (
+                            f"64-bit index-map output: {imj}")
+    assert found == 2
