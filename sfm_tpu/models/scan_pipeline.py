@@ -1092,7 +1092,7 @@ class ScanSfM:
         # read (_check_loops indexes by keyframe frame)
         self._images: dict[int, np.ndarray] = {}
         self._names: list[str] = []
-        self._pending: list[tuple[int, str, np.ndarray]] = []
+        self._pending: list[tuple[int, str, np.ndarray, jax.Array]] = []
         self.kfs: list[Keyframe] = []
         self.edges: list[Edge] = []
         self._pg_ran = False
@@ -1112,7 +1112,12 @@ class ScanSfM:
                 {"frame": frame_idx, "image": img_name, "keyframe": True,
                  "tracks": int(self.cfg.klt.max_tracks)})
             return
-        self._pending.append((frame_idx, img_name, gray_u8))
+        # dispatch the frame's H2D transfer NOW (jnp.asarray returns at
+        # dispatch; the ~300 KB copy streams in the background) so the
+        # upload overlaps the previous chunk's device compute instead of
+        # serializing into _flush — ~130 ms/chunk on the axon relay
+        self._pending.append((frame_idx, img_name, gray_u8,
+                              jnp.asarray(gray_u8)))
         if len(self._pending) >= self.chunk:
             self._flush()
 
@@ -1120,20 +1125,22 @@ class ScanSfM:
         if not self._pending:
             return
         C = self.chunk
-        H, W = self._pending[0][2].shape
-        imgs = np.zeros((C, H, W), self._pending[0][2].dtype)
         idxs = np.zeros((C,), np.int32)
         fvalid = np.zeros((C,), bool)
-        for k, (idx, _, g) in enumerate(self._pending):
-            imgs[k] = g
+        devs = []
+        for k, (idx, _, g, d) in enumerate(self._pending):
+            devs.append(d)
             idxs[k] = idx
             fvalid[k] = True
-        names = {idx: name for idx, name, _ in self._pending}
-        pend_imgs = {idx: g for idx, _, g in self._pending}
+        if len(devs) < C:  # tail chunk: pad with a zero frame
+            z = jnp.zeros_like(devs[0])
+            devs.extend([z] * (C - len(devs)))
+        names = {idx: name for idx, name, _, _ in self._pending}
+        pend_imgs = {idx: g for idx, _, g, _ in self._pending}
         self._pending = []
         self.carry, ys = run_chunk(
             self.cfg, self.p_ba, self._Kj, self.carry,
-            jnp.asarray(imgs), jnp.asarray(idxs), jnp.asarray(fvalid),
+            jnp.stack(devs), jnp.asarray(idxs), jnp.asarray(fvalid),
             gt_C=self._gt_C)
         ys = np.asarray(ys, np.float64)  # the chunk's single D2H pull
         for row in ys:
