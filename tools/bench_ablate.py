@@ -49,6 +49,13 @@ def main():
         variant("klt_iters8", **{"klt.iters": 8}),
         variant("hyp256", **{"ransac.num_hypotheses": 256}),
         variant("levels3", **{"klt.pyr_levels": 3}),
+        # keyframe branch never fires -> isolates the always-on prefix
+        # (pyramid + KLT + two-view RANSAC + policy); the reconstruction
+        # is meaningless, only the timing matters
+        variant("no_keyframes", **{"keyframe.parallax_px": 1e9,
+                                   "keyframe.min_inliers": 0}),
+        # in-chunk loop scoring + device LK/PnP verification off
+        variant("no_loop", **{"loop.enabled": False}),
     ]
 
     results = {}
