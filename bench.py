@@ -218,6 +218,50 @@ def run_ours(data_root: Path, frames: int = FRAMES, pipeline: str = "scan",
     return out
 
 
+def ref_tools_on_artifacts(data_root: Path, out_dir: Path, n_kf: int) -> dict:
+    """Close the artifact contract with the reference's OWN binaries
+    (SURVEY §4): run the reference-built ate_keyframes (Sim3 + SE3) and
+    gt_keyframe_edge on the CSVs this bench just exported. The binaries
+    were built by ensure_cpp_baseline (refbuild has all four targets,
+    ref cpp/CMakeLists.txt:1-19)."""
+    build = BENCH_DIR / "refbuild"
+    if not (build / "ate_keyframes").exists():
+        subprocess.run(
+            ["cmake", "-S", str(REF_CPP), "-B", str(build), "-G", "Ninja",
+             "-DCMAKE_BUILD_TYPE=Release"], check=True, capture_output=True)
+        subprocess.run(["cmake", "--build", str(build)], check=True,
+                       capture_output=True)
+    par = data_root / "templeRing" / "templeR_par.txt"
+    kf_csv = out_dir / "keyframes_camera_centers.csv"
+    edges_csv = out_dir / "posegraph_edges.csv"
+
+    def _run(tool, *args):
+        res = subprocess.run([str(build / tool), *map(str, args)],
+                             capture_output=True, text=True)
+        if res.returncode != 0:
+            raise RuntimeError(f"{tool} rc={res.returncode}: "
+                               f"{res.stderr[-300:]}")
+        return res.stdout
+
+    def _val(out, key):
+        for ln in out.splitlines():
+            if key in ln:
+                sep = "=" if "=" in ln.split(key)[-1] else ":"
+                return float(ln.split(sep)[-1].strip())
+        raise KeyError(key)
+
+    out = {}
+    for mode, tag in (("--sim3", "sim3"), ("--se3", "se3")):
+        txt = _run("ate_keyframes", "--par", par, "--keyframes", kf_csv,
+                   "--start", 0, "--count", n_kf, mode)
+        out[f"ref_tool_ate_{tag}"] = _val(txt, "ATE_RMSE")
+    txt = _run("gt_keyframe_edge", "--par", par, "--keyframes", kf_csv,
+               "--i", 0, "--j", 1, "--edges", edges_csv)
+    out["ref_edge01_rot_deg"] = _val(txt, "rotation error (deg)")
+    out["ref_edge01_tdir_deg"] = _val(txt, "translation direction error (deg)")
+    return out
+
+
 def bench_ba_iters(data_root: Path) -> float:
     """Standalone window-BA throughput (LM iterations/sec) at bench scale
     (window 6 x 1024 points x 13k observations)."""
@@ -279,9 +323,14 @@ def bench_multiscene(data_root: Path, S: int = 4) -> dict:
     images = [[d.load_gray(i) for i in range(FRAMES)] for d in dss]
     kw = dict(frames=FRAMES, chunk=16, images=images)
     run_scenes_scan(dss, cfg, **kw)  # compile warmup
-    t0 = time.perf_counter()
-    res = run_scenes_scan(dss, cfg, **kw)
-    dt = time.perf_counter() - t0
+    timed = []
+    for _ in range(3):  # median of 3 warm runs (relay load variance)
+        t0 = time.perf_counter()
+        res = run_scenes_scan(dss, cfg, **kw)
+        timed.append((time.perf_counter() - t0, res))
+    timed.sort(key=lambda x: x[0])
+    spread = (timed[0][0], timed[-1][0])
+    dt, res = timed[1]
     # per-scene ATE on the post-pose-graph/finalize keyframe centers —
     # the multiscene number now includes the same loop verification +
     # pose graph + finalize work as the single-scene headline
@@ -299,6 +348,7 @@ def bench_multiscene(data_root: Path, S: int = 4) -> dict:
     return {
         "scenes": S,
         "wall_s": dt,
+        "wall_s_min_max": [round(spread[0], 3), round(spread[1], 3)],
         "scene_frames_per_sec": S * FRAMES / dt,
         "keyframes": [int(x) for x in res["n_keyframes"]],
         "map_points": [int(x) for x in res["n_points"]],
@@ -380,19 +430,21 @@ def bench_host_pipeline_smoke(data_root: Path, frames: int = 12) -> dict:
 
 def bench_stock_thresholds(data_root: Path) -> dict:
     """The 47-frame run at STOCK reference thresholds (sampson 1e-3,
-    loop score 0.94 — /root/reference config defaults) instead of the
-    per-dataset tuning documented in docs/BENCHMARKS.md. On the
-    synthetic ring the 0.94 loop gate never fires (32x32 descriptor
-    revisit scores ~0.39 on noise texture), so this line shows the
-    no-loop-closure trajectory quality and the threshold sensitivity."""
-    import dataclasses as _dc
-
+    loop score 0.94, >=100-inlier verify — /root/reference config
+    defaults, cpp:1827-1859) with NO per-dataset tuning, on a
+    structured-texture ring whose 32x32 global descriptors behave like
+    the reference's real temple images: ~0.99 at a true revisit, <0.7
+    mid-ring (the bench's default noise texture decorrelates thumbnails
+    to ~0.39 even at revisits, so it cannot exercise the stock gate).
+    The ring closes at 359 deg, so the last keyframe is a true revisit
+    of frame 0 and the stock loop closure must fire end-to-end."""
     import jax.numpy as jnp
 
     from sfm_tpu.config import load_config
     from sfm_tpu.models.scan_pipeline import ScanSfM
     from sfm_tpu.ops import umeyama
     from sfm_tpu.utils.dataset import TempleRing
+    from sfm_tpu.utils.synthetic import SyntheticRingSpec, generate_dataset
 
     cfg = load_config(
         ROOT / "config.json",
@@ -404,7 +456,17 @@ def bench_stock_thresholds(data_root: Path) -> dict:
             "ransac.num_hypotheses": 1024,
         },
     )
-    ds = TempleRing.from_dir(data_root / "templeRing")
+    root = BENCH_DIR / "data_structured" / "templeRing"
+    if not (root / "templeR_par.txt").exists():
+        spec = SyntheticRingSpec(
+            n_frames=FRAMES, width=640, height=480, fx=1520.0, fy=1520.0,
+            cylinder_radius=0.10, cylinder_zmin=-0.10, cylinder_zmax=0.10,
+            ring_radius=0.60, ring_z=0.05,
+            path_lons_deg=tuple(np.linspace(0.0, 359.0, FRAMES)),
+            texture_blur=1.5, texture_kind="structured",
+        )
+        generate_dataset(root, spec, name_prefix="templeR")
+    ds = TempleRing.from_dir(root)
     grays = [ds.load_gray(i) for i in range(FRAMES)]
 
     def one_run():
@@ -490,9 +552,15 @@ def main():
     data_root = ensure_dataset()
     baseline = ensure_cpp_baseline(data_root)
     # warmup pass at the full frame count compiles every jitted stage and
-    # every fixed-capacity bucket; the timed run hits the compile cache
+    # every fixed-capacity bucket; the timed runs hit the compile cache.
+    # Headline = MEDIAN of 3 warm runs with the min/max spread recorded —
+    # the axon relay shows ±20-40% run-to-run load variance and a single
+    # sample is not a reproducible record (VERDICT r3 weak #1).
     run_ours(data_root)
-    ours = run_ours(data_root)
+    runs = sorted((run_ours(data_root) for _ in range(3)),
+                  key=lambda r: r["fps"])
+    ours = runs[1]
+    ours_spread = (runs[0]["fps"], runs[2]["fps"])
     ms = bench_multiscene(data_root)
     dense = bench_dense_variant()
     # secondary metric lines first; the driver's headline line stays last
@@ -504,6 +572,7 @@ def main():
             ms["scene_frames_per_sec"] / baseline["fps"], 3),
         "scenes": ms["scenes"],
         "wall_s": round(ms["wall_s"], 3),
+        "wall_s_min_max": ms["wall_s_min_max"],
         "keyframes": ms["keyframes"],
         "map_points": ms["map_points"],
         "loop_edges": ms["loop_edges"],
@@ -542,6 +611,8 @@ def main():
         "metric": "frames_per_sec_47img_templering",
         "value": round(ours["fps"], 3),
         "unit": "frames/s",
+        "fps_runs_min_max": [round(ours_spread[0], 3),
+                             round(ours_spread[1], 3)],
         "vs_baseline": round(ours["fps"] / baseline["fps"], 3),
         "cpp_baseline_fps": round(baseline["fps"], 3),
         "cpp_baseline_wall_s": round(baseline["wall_s"], 3),
@@ -557,6 +628,15 @@ def main():
             ms["scene_frames_per_sec"], 3),
         "multiscene_n": ms["scenes"],
     }
+    try:
+        # the reference's own eval binaries on this run's exported CSVs
+        ref = ref_tools_on_artifacts(data_root, BENCH_DIR / "tpu_out",
+                                     ours["keyframes"])
+        line.update({k: (round(v, 6) if isinstance(v, float) else v)
+                     for k, v in ref.items()})
+    except Exception as e:  # pragma: no cover
+        print(json.dumps({"metric": "ref_tools_on_artifacts",
+                          "error": str(e)[:300]}), file=sys.stderr)
     print(json.dumps(line))
 
 

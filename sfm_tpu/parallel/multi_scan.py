@@ -253,7 +253,9 @@ def _writeback_scene_poses(carry, s, vc):
 def run_scenes_scan(datasets, cfg: SystemConfig, frames: int | None = None,
                     chunk: int = 16, p_cap: int = 16384, p_ba: int = 1024,
                     seed: int | None = None, images=None, mesh=None,
-                    gated: bool = True, out_dirs=None):
+                    gated: bool = True, out_dirs=None,
+                    checkpoint_path=None, checkpoint_every: int = 0,
+                    resume: bool = False):
     """Reconstruct N scenes in lockstep with full per-scene mapping + BA,
     loop closure, pose graph, and finalize/export — the same work as a
     single-scene ``ScanSfM`` run (ref cpp/src/templering_sfm.cpp:1822-1866
@@ -268,6 +270,12 @@ def run_scenes_scan(datasets, cfg: SystemConfig, frames: int | None = None,
     scene-parallel) program across devices; S must divide the axis size.
     ``out_dirs``: optional per-scene output directories — when given,
     each scene's artifacts (centers CSV, edges CSV, PLY) are exported.
+    ``checkpoint_path`` + ``checkpoint_every``: write a resumable
+    checkpoint (scene-batched carry + per-scene host state + pulled
+    metric rows) every N chunks (SURVEY §5 checkpointed re-entry for
+    multi-sequence runs). ``resume=True`` re-enters a run from
+    ``checkpoint_path`` bit-identically (same datasets/config/capacities
+    required) instead of bootstrapping from frame 0.
     Returns dict with per-scene keyframe centers, counts, loop edges,
     points, and metrics. Centers/frames are the post-pose-graph,
     post-finalize keyframe values (identical semantics to single-scene
@@ -305,14 +313,37 @@ def run_scenes_scan(datasets, cfg: SystemConfig, frames: int | None = None,
              for s in range(S)]
 
     imgs0 = jnp.stack([jnp.asarray(images[s][0]) for s in range(S)])
-    carry = _bootstrap_scenes(cfg, kf_cap, p_cap, imgs0,
-                              jnp.zeros((), jnp.int32), keys)
-    if shard is not None:
-        carry = jax.device_put(carry, shard)
     ys_all = []
     # coarse host-side phase timers (the per-chunk ys pull and the
     # finalize pulls are real syncs, so the segments are attributable)
     tm = {"chunks": 0.0, "loop_check": 0.0, "finalize": 0.0}
+    start_ci = 0
+    if resume:
+        from sfm_tpu.utils import checkpoint as ckpt
+
+        carry, meta, ys_ck, loops = ckpt.load_multiscene_checkpoint(
+            checkpoint_path)
+        assert meta["n_scenes"] == S, "checkpoint scene count mismatch"
+        start_ci = meta["next_chunk"]
+        tm.update(meta["timers"])
+        if ys_ck is not None:
+            ys_all.append(ys_ck)
+            # re-seed each view's host state: keyframe grays (from the
+            # already-pulled metric rows) + loop/pose-graph bookkeeping
+            for s in range(S):
+                rows = ys_ck[s]
+                kf_rows = rows[(rows[:, sp.Y_VALID] > 0.5)
+                               & (rows[:, sp.Y_KF] > 0.5)]
+                for fi in kf_rows[:, sp.Y_FRAME].astype(int):
+                    views[s]._images[int(fi)] = images[s][int(fi)]
+        for s in range(S):
+            views[s].loop_edges = loops[s]
+            views[s]._pg_ran = meta["pg_ran"][s]
+    else:
+        carry = _bootstrap_scenes(cfg, kf_cap, p_cap, imgs0,
+                                  jnp.zeros((), jnp.int32), keys)
+    if shard is not None:
+        carry = jax.device_put(carry, shard)
 
     def _assemble(start):
         """Host-assemble one chunk's (S,C,H,W) image batch and DISPATCH
@@ -336,8 +367,8 @@ def run_scenes_scan(datasets, cfg: SystemConfig, frames: int | None = None,
 
     starts = list(range(1, n, chunk))
     run = _run_chunk_scenes_gated if gated else _run_chunk_scenes
-    nxt = _assemble(starts[0]) if starts else None
-    for ci, start in enumerate(starts):
+    nxt = _assemble(starts[start_ci]) if starts[start_ci:] else None
+    for ci in range(start_ci, len(starts)):
         t0 = time.perf_counter()
         imgs_j, idxs_j, fvalid_j = nxt
         carry, ys = run(cfg, p_ba, Kf, carry, imgs_j, idxs_j, fvalid_j)
@@ -432,6 +463,13 @@ def run_scenes_scan(datasets, cfg: SystemConfig, frames: int | None = None,
                             ring_t, ring_R[nk - 1], ring_t[nk - 1])
                         v._pg_ran = True
         tm["loop_check"] += time.perf_counter() - t1
+        if (checkpoint_path is not None and checkpoint_every > 0
+                and (ci + 1) % checkpoint_every == 0
+                and ci + 1 < len(starts)):
+            from sfm_tpu.utils import checkpoint as ckpt
+
+            ckpt.save_multiscene_checkpoint(
+                checkpoint_path, carry, views, ys_all, ci + 1, tm)
     ys = np.concatenate(ys_all, axis=1)
     t2 = time.perf_counter()
 

@@ -213,6 +213,107 @@ def save_scan_checkpoint(scan, path: str | Path) -> None:
         )
 
 
+def _carry_to_arrays(c) -> dict[str, np.ndarray]:
+    """Flatten a ScanCarry — single-scene or scene-batched (every leaf
+    with a leading S axis) — into named numpy arrays. Scalar carry fields
+    (last_kf_frame/kf_count/n_pts) are stored as arrays so the batched
+    (S,) case round-trips unchanged."""
+    arrays = {
+        "R_cw": np.asarray(c.R_cw), "t_cw": np.asarray(c.t_cw),
+        "slot_pid": np.asarray(c.slot_pid), "fo_kf": np.asarray(c.fo_kf),
+        "fo_uv": np.asarray(c.fo_uv), "X": np.asarray(c.X),
+        "key": np.asarray(c.key),
+        "last_kf_frame": np.asarray(c.last_kf_frame),
+        "kf_count": np.asarray(c.kf_count),
+        "n_pts": np.asarray(c.n_pts),
+    }
+    for f in c.trk._fields:
+        arrays[f"trk_{f}"] = np.asarray(getattr(c.trk, f))
+    for f in c.ring._fields:
+        arrays[f"ring_{f}"] = np.asarray(getattr(c.ring, f))
+    for i, p in enumerate(c.prev_pyr):
+        arrays[f"pyr{i}"] = np.asarray(p)
+    return arrays
+
+
+def _carry_from_arrays(z, levels: int):
+    import jax.numpy as jnp
+
+    from sfm_tpu.models import tracker
+    from sfm_tpu.models.scan_pipeline import KeyframeRing, ScanCarry
+
+    trk = tracker.TrackerState(
+        **{f: jnp.asarray(z[f"trk_{f}"])
+           for f in tracker.TrackerState._fields})
+    ring = KeyframeRing(
+        **{f: jnp.asarray(z[f"ring_{f}"]) for f in KeyframeRing._fields})
+    return ScanCarry(
+        trk=trk,
+        prev_pyr=tuple(jnp.asarray(z[f"pyr{i}"]) for i in range(levels)),
+        R_cw=jnp.asarray(z["R_cw"]), t_cw=jnp.asarray(z["t_cw"]),
+        last_kf_frame=jnp.asarray(z["last_kf_frame"]),
+        kf_count=jnp.asarray(z["kf_count"]),
+        slot_pid=jnp.asarray(z["slot_pid"]), fo_kf=jnp.asarray(z["fo_kf"]),
+        fo_uv=jnp.asarray(z["fo_uv"]), ring=ring, X=jnp.asarray(z["X"]),
+        n_pts=jnp.asarray(z["n_pts"]), key=jnp.asarray(z["key"]))
+
+
+def save_multiscene_checkpoint(path: str | Path, carry, views,
+                               ys_chunks: list[np.ndarray],
+                               next_chunk: int, timers: dict) -> None:
+    """Checkpoint a ``run_scenes_scan`` run at a chunk boundary (SURVEY §5
+    "checkpointed re-entry for multi-sequence runs"): the scene-batched
+    device carry, each scene's host-side loop/pose-graph state, and the
+    pulled per-chunk metric rows. ``next_chunk`` indexes the chunk-start
+    list; resuming re-enters the chunk loop there, bit-identically."""
+    path = Path(path)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    arrays = _carry_to_arrays(carry)
+    if ys_chunks:
+        arrays["ys"] = np.concatenate(ys_chunks, axis=1)
+    loops_R, loops_t, loop_meta = [], [], []
+    for s, v in enumerate(views):
+        for e in v.loop_edges:
+            loops_R.append(e.R_ji)
+            loops_t.append(e.t_ji)
+            loop_meta.append(dict(
+                scene=s, i=e.i, j=e.j, inliers=e.inliers, is_loop=e.is_loop,
+                w_rot=e.w_rot, w_trans=e.w_trans, s_rel=e.s_rel))
+    if loops_R:
+        arrays["loops_R"] = np.stack(loops_R)
+        arrays["loops_t"] = np.stack(loops_t)
+    meta = {
+        "multiscene": True,
+        "n_scenes": len(views),
+        "levels": len(carry.prev_pyr),
+        "next_chunk": int(next_chunk),
+        "timers": {k: float(vv) for k, vv in timers.items()},
+        "pg_ran": [bool(v._pg_ran) for v in views],
+        "loop_meta": loop_meta,
+    }
+    np.savez_compressed(path.with_suffix(".npz"), **arrays)
+    path.with_suffix(".json").write_text(json.dumps(meta))
+
+
+def load_multiscene_checkpoint(path: str | Path):
+    """Returns (carry, meta, ys (S,C_done,NY) or None, loop_edges_by_scene)
+    for ``run_scenes_scan(..., resume_from=path)``."""
+    from sfm_tpu.models.mapstate import Edge
+
+    path = Path(path)
+    z = np.load(path.with_suffix(".npz"))
+    meta = json.loads(path.with_suffix(".json").read_text())
+    carry = _carry_from_arrays(z, meta["levels"])
+    ys = np.asarray(z["ys"]) if "ys" in z else None
+    loops: list[list] = [[] for _ in range(meta["n_scenes"])]
+    for k, em in enumerate(meta["loop_meta"]):
+        loops[em["scene"]].append(Edge(
+            i=em["i"], j=em["j"], R_ji=z["loops_R"][k], t_ji=z["loops_t"][k],
+            inliers=em["inliers"], is_loop=em["is_loop"], w_rot=em["w_rot"],
+            w_trans=em["w_trans"], s_rel=em["s_rel"]))
+    return carry, meta, ys, loops
+
+
 def load_scan_checkpoint(scan, path: str | Path) -> None:
     """Restore into a freshly constructed ScanSfM with the same config
     and capacities. Continue by calling scan.process for later frames."""

@@ -35,6 +35,13 @@ class SyntheticRingSpec:
     path_lons_deg: tuple | None = None
     texture_size: int = 1024
     texture_blur: float = 2.0
+    # "noise": three-octave blurred random field (dense corner coverage;
+    # the bench default). "structured": quasi-periodic theta bands +
+    # large albedo patches + a small fine octave — the 32x32 global loop
+    # descriptor (ref cpp:1100-1129) then scores >=0.94 at a true ring
+    # revisit, like the reference's real temple images at its stock
+    # loop gate (cpp:1827-1831), while mid-ring pairs stay well below.
+    texture_kind: str = "noise"
     seed: int = 7
     background: int = 110  # near the texture mean: keeps the silhouette
     # (a depth-discontinuity curve whose "corners" are not fixed 3D
@@ -73,6 +80,45 @@ def _make_texture(spec: SyntheticRingSpec) -> np.ndarray:
     medium = gaussian_filter(rng.standard_normal((H, W)), spec.texture_blur * 3, mode="wrap")
     coarse = gaussian_filter(rng.standard_normal((H, W)), spec.texture_blur * 8, mode="wrap")
     tex = tex + 2.5 * medium + 3.0 * coarse
+    lo, hi = np.percentile(tex, [1, 99])
+    tex = np.clip((tex - lo) / (hi - lo), 0.0, 1.0)
+    return (25.0 + 210.0 * tex).astype(np.float64)
+
+
+def _make_texture_structured(spec: SyntheticRingSpec) -> np.ndarray:
+    """Structured (quasi-periodic) cylinder texture.
+
+    Variance is dominated by low-frequency theta bands (incommensurate
+    harmonics k=3,5,7 with random phases, z-modulated) plus large albedo
+    patches, so two views of the same longitude correlate ~0.99 at 32x32
+    thumbnail scale while views >=45 deg apart fall below ~0.7 — the
+    regime the reference's stock 0.94 loop-closure gate was tuned for on
+    real temple images (ref cpp:1827-1831). A small-amplitude fine octave
+    keeps Shi-Tomasi corners and LK gradients alive without diluting the
+    descriptor (fine variance fraction ~6%)."""
+    from scipy.ndimage import gaussian_filter
+
+    rng = np.random.default_rng(spec.seed)
+    W = spec.texture_size
+    H = spec.texture_size // 2
+    th = (np.arange(W) + 0.5) / W * 2.0 * np.pi
+    zz = (np.arange(H) + 0.5) / H
+    bands = np.zeros((H, W))
+    for k, a in ((3, 1.0), (5, 0.8), (7, 0.6)):
+        ph = rng.uniform(0, 2 * np.pi)
+        phz = rng.uniform(0, 2 * np.pi)
+        bands += a * np.cos(k * th[None, :] + ph) * (
+            0.6 + 0.4 * np.cos(2 * np.pi * 2 * zz[:, None] + phz))
+    bands /= bands.std()
+    blobs = gaussian_filter(rng.standard_normal((H, W)), 48, mode="wrap")
+    blobs /= blobs.std()
+    med = gaussian_filter(rng.standard_normal((H, W)),
+                          spec.texture_blur * 4, mode="wrap")
+    med /= med.std()
+    fine = gaussian_filter(rng.standard_normal((H, W)),
+                           spec.texture_blur, mode="wrap")
+    fine /= fine.std()
+    tex = 1.0 * bands + 0.8 * blobs + 0.35 * med + 0.25 * fine
     lo, hi = np.percentile(tex, [1, 99])
     tex = np.clip((tex - lo) / (hi - lo), 0.0, 1.0)
     return (25.0 + 210.0 * tex).astype(np.float64)
@@ -186,7 +232,8 @@ def generate_dataset(out_dir: str | Path, spec: SyntheticRingSpec | None = None,
     elif write_pgm:
         pgm_dir = out / "templeRing_pgm"
         pgm_dir.mkdir(exist_ok=True)
-    texture = _make_texture(spec)
+    texture = (_make_texture_structured(spec)
+               if spec.texture_kind == "structured" else _make_texture(spec))
     K, Rs, ts, Cs, lons = make_ring_cameras(spec)
     n_frames = len(Rs)
 

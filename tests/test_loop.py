@@ -32,6 +32,40 @@ def test_score_bank_masks_invalid(rng):
     assert s[2] == -jnp.inf
 
 
+def test_structured_texture_descriptor_regime(tmp_path):
+    """The ``texture_kind='structured'`` synthetic puts the 32x32 global
+    descriptor in the reference's stock-threshold regime (cpp:1827-1831,
+    score gate 0.94 on real temple images): a true ring revisit scores
+    >=0.94 while mid-ring pairs stay below the gate."""
+    from sfm_tpu.utils.dataset import TempleRing
+    from sfm_tpu.utils.synthetic import SyntheticRingSpec, generate_dataset
+
+    n = 16
+    spec = SyntheticRingSpec(
+        n_frames=n, width=320, height=240, fx=760.0, fy=760.0,
+        cylinder_radius=0.10, cylinder_zmin=-0.10, cylinder_zmax=0.10,
+        ring_radius=0.60, ring_z=0.05,
+        path_lons_deg=tuple(np.linspace(0.0, 358.0, n)),
+        texture_blur=1.5, texture_kind="structured",
+    )
+    generate_dataset(tmp_path / "ring", spec)
+    ds = TempleRing.from_dir(tmp_path / "ring")
+    D = np.stack([
+        np.asarray(descriptors.global_desc_32(
+            jnp.asarray(ds.load_gray(i), jnp.float32)))
+        for i in range(n)
+    ])
+    S = D @ D.T
+    # last frame (358 deg) is a 2-deg revisit of frame 0: above stock gate
+    assert S[n - 1, 0] >= 0.94
+    # mid-ring pairs (>=60 deg apart, excluding the revisit pair) stay
+    # below the gate — the descriptor is selective, not degenerate
+    gap = max(2, n * 60 // 360)
+    mid = [S[i, j] for i in range(n) for j in range(0, i - gap + 1)
+           if not (i == n - 1 and j == 0)]
+    assert max(mid) < 0.94
+
+
 @pytest.fixture(scope="module")
 def out_and_back(tmp_path_factory):
     from sfm_tpu.utils.synthetic import SyntheticRingSpec, generate_dataset

@@ -162,6 +162,70 @@ def test_multi_scene_loop_closure_and_export(two_out_and_back, tmp_path):
         assert float(r["rmse"]) / extent < 0.06, f"scene {s}"
 
 
+def test_multiscene_checkpoint_roundtrip(two_out_and_back, tmp_path):
+    """SURVEY §5 checkpointed re-entry for multi-sequence runs: a
+    run_scenes_scan killed mid-run and resumed from its chunk-boundary
+    checkpoint must reproduce the uninterrupted run exactly — including
+    loop edges and pose-graph pushback state saved with the carry."""
+    import dataclasses
+
+    from sfm_tpu.config import LoopConfig, PoseGraphConfig
+    from sfm_tpu.parallel.multi_scan import run_scenes_scan
+
+    dss = two_out_and_back
+    n = len(dss[0].records)
+    cfg = dataclasses.replace(
+        _small_cfg(),
+        frames=n,
+        loop=LoopConfig(enabled=True, min_kf_gap=8, score_thresh=0.94,
+                        min_tracked=120, ransac_iters=1024,
+                        ransac_thresh=2e-5, min_inliers=80),
+        pose_graph=PoseGraphConfig(mode="se3", iters=10),
+    )
+    kw = dict(frames=n, chunk=6, p_cap=4096, p_ba=256)
+    ref = run_scenes_scan(dss, cfg, **kw)
+
+    ck = tmp_path / "ms_ck"
+
+    class _Die(Exception):
+        pass
+
+    # run with a checkpoint every chunk, aborting after chunk 2 (the
+    # out-and-back revisit closes its loop in a later chunk, so loop
+    # verification + pushback happen AFTER resume on restored state)
+    import sfm_tpu.utils.checkpoint as ckpt_mod
+
+    orig_save = ckpt_mod.save_multiscene_checkpoint
+    calls = {"n": 0}
+
+    def save_then_die(*a, **k):
+        orig_save(*a, **k)
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise _Die()
+
+    ckpt_mod.save_multiscene_checkpoint = save_then_die
+    try:
+        with pytest.raises(_Die):
+            run_scenes_scan(dss, cfg, checkpoint_path=ck,
+                            checkpoint_every=1, **kw)
+    finally:
+        ckpt_mod.save_multiscene_checkpoint = orig_save
+
+    res = run_scenes_scan(dss, cfg, checkpoint_path=ck, resume=True, **kw)
+
+    np.testing.assert_array_equal(res["n_keyframes"], ref["n_keyframes"])
+    np.testing.assert_array_equal(res["n_points"], ref["n_points"])
+    np.testing.assert_array_equal(res["metrics"], ref["metrics"])
+    for s in range(len(dss)):
+        np.testing.assert_array_equal(res["kf_frames"][s],
+                                      ref["kf_frames"][s])
+        np.testing.assert_allclose(res["centers"][s], ref["centers"][s],
+                                   atol=1e-6)
+        assert ([(e.i, e.j) for e in res["loop_edges"][s]]
+                == [(e.i, e.j) for e in ref["loop_edges"][s]])
+
+
 def test_single_scene_equivalence(four_rings):
     """A 1-scene multiscene run must reproduce the single-scene ScanSfM
     pipeline: identical keyframe schedule, matching geometry (the scene
