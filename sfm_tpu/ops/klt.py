@@ -47,6 +47,29 @@ def _use_pallas() -> bool:
         return False
 
 
+def _lk_dtype():
+    """Block-storage dtype for the LK load/iterate path.
+
+    The tracker is bandwidth-bound on its per-level block loads and the
+    per-iteration barrel shifts (tools/bench_prefix_stages.py: ~85% of
+    the 8.9 ms device time of lk_track_fb at bench scale) — bf16 storage
+    halves that traffic. Accuracy: pyramid level values are box-filtered
+    u8 intensities (0..255); bf16 quantizes them to <=0.5 intensity LSB,
+    below the sensor-noise floor the LK solve already tolerates, and the
+    2x2 normal equations still ACCUMULATE in f32 (_bil_t upcasts at the
+    patch read). Default bf16 on TPU, f32 elsewhere; SFM_TPU_LK_BF16=0/1
+    overrides (validated by tests/test_klt.py::test_lk_bf16_matches_f32
+    and the bench ATE)."""
+    env = os.environ.get("SFM_TPU_LK_BF16", "").strip()
+    if env in ("0", "1"):
+        return jnp.bfloat16 if env == "1" else jnp.float32
+    try:
+        return jnp.bfloat16 if jax.default_backend() == "tpu" \
+            else jnp.float32
+    except Exception:
+        return jnp.float32
+
+
 def _bil_patch(block, fx, fy, P: int, ox: int, oy: int):
     """(...,P,P) bilinear patch from (...,P+3,P+3) blocks at static pixel
     offset (ox,oy) ∈ {-1,0,1} and per-item fractional offsets fx/fy."""
@@ -101,9 +124,10 @@ def _load_blocks(img, origins, P: int, margin: int):
         blocks, anchors = load_blocks_pallas(
             img, starts, WIN,
             interpret=jax.default_backend() != "tpu")
-        d = starts[:, 1] - anchors[:, 1]  # 0..7 row remainder
+        d = starts[:, 1] - anchors[:, 1]  # 0..slack-1 row remainder
+        slack = blocks.shape[1] - WIN  # 8 (f32) or 16 (bf16 sublane tile)
         k = 1
-        while k < 8:
+        while k < slack:
             bit = (d // k) % 2 == 1
             blocks = jnp.where(bit[:, None, None],
                                jnp.roll(blocks, -k, axis=1), blocks)
@@ -183,15 +207,20 @@ def _barrel_take(x, q, S: int, axis: int):
 
 def _bil_t(block, fx, fy, P: int, ox: int, oy: int):
     """(P,P,T) bilinear patch from (S,S,T) sub-blocks — the transposed
-    twin of _bil_patch (patch dims leading, tracks on lanes)."""
+    twin of _bil_patch (patch dims leading, tracks on lanes).
+
+    Blocks may be stored in bf16 (_lk_dtype): the four shifted reads
+    upcast to f32 HERE, so the bilinear combination and every downstream
+    reduction (gradients, 2x2 normal equations) accumulate in f32."""
     y0 = 1 + oy
     x0 = 1 + ox
-    w00 = block[y0 : y0 + P, x0 : x0 + P]
-    w01 = block[y0 : y0 + P, x0 + 1 : x0 + P + 1]
-    w10 = block[y0 + 1 : y0 + P + 1, x0 : x0 + P]
-    w11 = block[y0 + 1 : y0 + P + 1, x0 + 1 : x0 + P + 1]
-    fx = fx[None, None, :]
-    fy = fy[None, None, :]
+    f32 = jnp.float32
+    w00 = block[y0 : y0 + P, x0 : x0 + P].astype(f32)
+    w01 = block[y0 : y0 + P, x0 + 1 : x0 + P + 1].astype(f32)
+    w10 = block[y0 + 1 : y0 + P + 1, x0 : x0 + P].astype(f32)
+    w11 = block[y0 + 1 : y0 + P + 1, x0 + 1 : x0 + P + 1].astype(f32)
+    fx = fx[None, None, :].astype(f32)
+    fy = fy[None, None, :].astype(f32)
     return (
         w00 * (1.0 - fx) * (1.0 - fy)
         + w01 * fx * (1.0 - fy)
@@ -277,6 +306,10 @@ def lk_track(pyr0, pyr1, pts, valid, levels: int, iters: int, radius: int,
 
     Returns (new_pts (T,2), ok (T,) bool). ref: cpp:402-460 coarse-to-fine.
     """
+    dt = _lk_dtype()
+    if pyr0[0].dtype != dt:
+        pyr0 = tuple(p.astype(dt) for p in pyr0)
+        pyr1 = tuple(p.astype(dt) for p in pyr1)
     v = jnp.zeros_like(pts)
     for L in range(levels - 1, -1, -1):
         scale = float(2**L)

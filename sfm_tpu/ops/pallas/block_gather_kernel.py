@@ -40,13 +40,20 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-ROW_SLACK = 8    # extra block rows from the 8-aligned row anchor
 LANE = 128       # lane-tile width
 
 
+def _row_slack(dtype) -> int:
+    """Extra block rows from the sublane-aligned row anchor: Mosaic only
+    lowers dynamic-sublane loads provably aligned to the dtype's sublane
+    tile — 8 rows for f32, 16 for bf16 (see the tiling table in the TPU
+    guide)."""
+    return 16 if jnp.dtype(dtype).itemsize == 2 else 8
+
+
 def _kernel(starts_ref, img_ref, out_ref, *, WIN: int, TB: int,
-            interpret: bool):
-    WIN_AL = WIN + ROW_SLACK
+            slack: int, interpret: bool):
+    WIN_AL = WIN + slack
 
     # Everything below sticks to raw i32 lax primitives. Under
     # jax_enable_x64 (the package default) jnp sugar is a compile-time
@@ -61,14 +68,14 @@ def _kernel(starts_ref, img_ref, out_ref, *, WIN: int, TB: int,
     # lax.div/rem/sub have direct Mosaic lowering rules, no re-trace.
     lane = jnp.int32(LANE)
     two_lane = jnp.int32(2 * LANE)
-    eight = jnp.int32(8)
+    align = jnp.int32(slack)
 
     def body(t, carry):
         sy8 = starts_ref[t, 1]  # pre-aligned by the wrapper
         sx = starts_ref[t, 0]
         # non-negative (wrapper clamps), so trunc-div == floor-div
         tx = jax.lax.div(sx, lane) * lane  # 128-aligned tile start
-        strip = img_ref[pl.ds(jax.lax.div(sy8, eight) * eight, WIN_AL),
+        strip = img_ref[pl.ds(jax.lax.div(sy8, align) * align, WIN_AL),
                         pl.ds(tx, 2 * LANE)]  # (WIN_AL, 256)
         lx = sx - tx  # 0..127 in-tile column remainder
         # left-rotate lanes so column lx lands at 0 (jnp.roll moves
@@ -77,8 +84,16 @@ def _kernel(starts_ref, img_ref, out_ref, *, WIN: int, TB: int,
         if interpret:
             rolled = jnp.roll(strip, -lx, axis=1)
         else:
+            # Mosaic's tpu.dynamic_rotate only supports 32-bit data;
+            # 16-bit strips (bf16 LK storage, ops/klt._lk_dtype) round-
+            # trip through f32 for the rotate — exact (bf16 ⊂ f32) and
+            # cheap (the kernel is per-track latency-bound, not VPU-bound)
+            dt = strip.dtype
+            if jnp.dtype(dt).itemsize == 2:
+                strip = strip.astype(jnp.float32)
             rolled = pltpu.roll(
                 strip, jax.lax.rem(two_lane - lx, two_lane), axis=1)
+            rolled = rolled.astype(dt)
         out_ref[pl.ds(t, 1)] = rolled[:, :WIN][None]
         return carry
 
@@ -108,7 +123,8 @@ def load_blocks_pallas(img, starts, WIN: int, TB: int = 256,
     # never runs off the edge). Pad content never reaches the first WIN
     # rows / the extracted columns.
     W_pad = -(-W // LANE) * LANE + LANE
-    img = jnp.pad(img, ((0, ROW_SLACK), (0, W_pad - W)))
+    slack = _row_slack(img.dtype)
+    img = jnp.pad(img, ((0, slack), (0, W_pad - W)))
     T = starts.shape[0]
     TB = min(TB, max(T, 1))
     T_pad = -(-T // TB) * TB
@@ -122,10 +138,11 @@ def load_blocks_pallas(img, starts, WIN: int, TB: int = 256,
     starts = jnp.clip(starts.astype(jnp.int32), 0,
                       jnp.asarray([W - WIN, H - WIN], jnp.int32))
     anchors = jnp.stack(
-        [starts[:, 0], (starts[:, 1] // 8) * 8], axis=-1)
+        [starts[:, 0], (starts[:, 1] // slack) * slack], axis=-1)
     starts_p = jnp.zeros((T_pad, 2), jnp.int32).at[:T].set(anchors)
     grid = (T_pad // TB,)
-    kernel = functools.partial(_kernel, WIN=WIN, TB=TB, interpret=interpret)
+    kernel = functools.partial(_kernel, WIN=WIN, TB=TB, slack=slack,
+                               interpret=interpret)
     out = pl.pallas_call(
         kernel,
         grid=grid,
@@ -138,14 +155,14 @@ def load_blocks_pallas(img, starts, WIN: int, TB: int = 256,
             # map's `func.return (i32, i64)`.
             pl.BlockSpec((TB, 2), lambda g: (g, jnp.int32(0)),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((H + ROW_SLACK, W_pad),
+            pl.BlockSpec((H + slack, W_pad),
                          lambda g: (jnp.int32(0), jnp.int32(0)),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (TB, WIN + ROW_SLACK, WIN),
+            (TB, WIN + slack, WIN),
             lambda g: (g, jnp.int32(0), jnp.int32(0))),
-        out_shape=jax.ShapeDtypeStruct((T_pad, WIN + ROW_SLACK, WIN),
+        out_shape=jax.ShapeDtypeStruct((T_pad, WIN + slack, WIN),
                                        img.dtype),
         interpret=interpret,
     )(starts_p, img)

@@ -8,6 +8,9 @@ import pytest
 from sfm_tpu.ops import ba, lie, umeyama
 
 
+pytestmark = pytest.mark.quick  # fast tier (pyproject markers)
+
+
 def make_ba_problem(rng, F=4, P=120, noise=1e-4, perturb_pose=0.02,
                     perturb_pts=0.02, step=0.15):
     """Cameras on an arc looking at a blob of points; GT + perturbed init."""

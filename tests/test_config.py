@@ -40,6 +40,11 @@ REFERENCE_CONFIG = {
 }
 
 
+import pytest
+
+pytestmark = pytest.mark.quick  # fast tier (pyproject markers)
+
+
 def test_defaults():
     cfg = load_config(None)
     assert cfg.frames == 12

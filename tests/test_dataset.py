@@ -6,6 +6,11 @@ from sfm_tpu.utils import artifacts, dataset
 from sfm_tpu.utils.synthetic import SyntheticRingSpec, make_ring_cameras
 
 
+import pytest
+
+pytestmark = pytest.mark.quick  # fast tier (pyproject markers)
+
+
 def test_par_roundtrip(tmp_path):
     K = np.array([[1520.0, 0, 302.3], [0, 1525.9, 246.9], [0, 0, 1]])
     R = np.eye(3)

@@ -8,6 +8,9 @@ import pytest
 from sfm_tpu.utils import debug
 
 
+pytestmark = pytest.mark.quick  # fast tier (pyproject markers)
+
+
 @pytest.fixture
 def checks():
     """Enable checks for the test, always restore global state after."""

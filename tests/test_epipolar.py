@@ -7,6 +7,11 @@ import numpy as np
 from sfm_tpu.ops import epipolar, lie, triangulate
 
 
+import pytest
+
+pytestmark = pytest.mark.quick  # fast tier (pyproject markers)
+
+
 def make_two_view(rng, n=300, noise=0.0, outlier_frac=0.0):
     """Random scene + relative pose; returns normalized correspondences.
 

@@ -6,6 +6,11 @@ import numpy as np
 from sfm_tpu.ops import features, image as im, klt
 
 
+import pytest
+
+pytestmark = pytest.mark.quick  # fast tier (pyproject markers)
+
+
 def make_textured(rng, H=240, W=320, sigma=2.0):
     from scipy.ndimage import gaussian_filter
 
@@ -117,3 +122,37 @@ def test_lk_fb_rejects_occluded(rng):
     if in_wiped.sum() > 5:
         assert ok_np[in_wiped].mean() < 0.4
     assert ok_np[~in_wiped & np.asarray(valid)].mean() > 0.6
+
+
+def test_lk_bf16_matches_f32(rng, monkeypatch):
+    """bf16 block storage (ops/klt._lk_dtype, the TPU default) must
+    reproduce the f32 path's flows to well below the fb gate: pyramid
+    values are box-filtered u8 intensities, exact-or-<=0.5-LSB in bf16,
+    and all reductions still accumulate in f32 (_bil_t upcast)."""
+    img0 = make_textured(rng)
+    img1 = shift_image(img0, 3.7, -2.2)
+    pyr0 = tuple(im.build_pyramid(jnp.asarray(img0), 3))
+    pyr1 = tuple(im.build_pyramid(jnp.asarray(img1), 3))
+    xy, _, valid = features.detect_corners(
+        jnp.asarray(img0), jnp.zeros((1, 2)), jnp.zeros(1, bool),
+        max_new=128, cell=10)
+
+    def run():
+        import jax
+
+        jax.clear_caches()  # the dtype choice is read at trace time
+        return klt.lk_track_fb(pyr0, pyr1, xy, valid, levels=3, iters=10,
+                               radius=5)
+
+    monkeypatch.setenv("SFM_TPU_LK_BF16", "0")
+    new32, ok32 = map(np.asarray, run())
+    monkeypatch.setenv("SFM_TPU_LK_BF16", "1")
+    new16, ok16 = map(np.asarray, run())
+    both = ok32 & ok16
+    assert both.sum() > 20
+    # near-identical survivor sets and sub-1e-2 px flow agreement
+    assert (ok32 ^ ok16).sum() <= max(2, int(0.02 * ok32.sum()))
+    d = np.linalg.norm(new32[both] - new16[both], axis=1)
+    # converged flows agree to hundredths of a pixel — two orders below
+    # the 1.0 px fb gate and the pipeline's keyframe parallax scales
+    assert np.median(d) < 0.02 and d.max() < 0.3

@@ -8,6 +8,9 @@ import pytest
 from sfm_tpu.ops import lie
 
 
+pytestmark = pytest.mark.quick  # fast tier (pyproject markers)
+
+
 def random_rotations(n, rng, max_angle=np.pi * 0.98):
     axes = rng.standard_normal((n, 3))
     axes /= np.linalg.norm(axes, axis=1, keepdims=True)

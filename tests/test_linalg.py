@@ -8,6 +8,11 @@ import numpy as np
 from sfm_tpu.ops import linalg, triangulate
 
 
+import pytest
+
+pytestmark = pytest.mark.quick  # fast tier (pyproject markers)
+
+
 def test_nullvec_inviter_matches_svd(rng):
     # random (N,4,4) DLT-like systems with an exact null direction
     N = 256

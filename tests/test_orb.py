@@ -6,6 +6,11 @@ import numpy as np
 from sfm_tpu.ops import orb
 
 
+import pytest
+
+pytestmark = pytest.mark.quick  # fast tier (pyproject markers)
+
+
 def textured(rng, H=240, W=320):
     from scipy.ndimage import gaussian_filter
 

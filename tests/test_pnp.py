@@ -6,6 +6,11 @@ import numpy as np
 from sfm_tpu.ops import lie, pnp
 
 
+import pytest
+
+pytestmark = pytest.mark.quick  # fast tier (pyproject markers)
+
+
 def make_pnp(rng, n=200, noise=1e-4, outliers=0):
     X = rng.standard_normal((n, 3)) * np.array([0.4, 0.4, 0.25]) + np.array(
         [0, 0, 4.0]

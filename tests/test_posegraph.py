@@ -7,6 +7,11 @@ import numpy as np
 from sfm_tpu.ops import lie, posegraph as pg
 
 
+import pytest
+
+pytestmark = pytest.mark.quick  # fast tier (pyproject markers)
+
+
 def ring_poses(n, radius=1.0):
     """Cameras on a ring looking at the center (cam->world)."""
     Rs, Cs = [], []

@@ -43,6 +43,7 @@ def scan_result(synthetic_ring):
     return ds, s
 
 
+@pytest.mark.quick
 def test_keyframes_and_map(scan_result):
     ds, s = scan_result
     assert len(s.kfs) >= 4
@@ -54,6 +55,7 @@ def test_keyframes_and_map(scan_result):
     assert kf_frames == sorted(kf_frames)
 
 
+@pytest.mark.quick
 def test_ate_on_ring(scan_result):
     import jax.numpy as jnp
 
@@ -142,6 +144,7 @@ def test_export_keep_mask_unit():
     assert keep.tolist() == [True, False, False]
 
 
+@pytest.mark.quick
 def test_export_artifacts(scan_result, tmp_path):
     ds, s = scan_result
     info = s.export(tmp_path, dataset=ds)

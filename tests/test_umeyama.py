@@ -6,6 +6,11 @@ import numpy as np
 from sfm_tpu.ops import lie, umeyama
 
 
+import pytest
+
+pytestmark = pytest.mark.quick  # fast tier (pyproject markers)
+
+
 def test_umeyama_recovers_random_sim3(rng):
     for _ in range(5):
         src = rng.standard_normal((20, 3))
