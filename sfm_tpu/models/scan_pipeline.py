@@ -993,7 +993,8 @@ def _finalize_refine_core(Kf, ring: KeyframeRing, X, n_pts, do_retri0,
             cam_idx=cam_idx, pid_idx=pid_idx, obs=obs_n,
             obs_valid=obs_ok.ravel(), point_valid=point_valid)
         Xr, info = ba_ops.refine_points.__wrapped__(
-            prob, iters=iters, lambda0=lambda0, huber_delta=huber_delta)
+            prob, iters=iters, lambda0=lambda0, huber_delta=huber_delta,
+            max_obs_per_point=K_)  # ring: one obs per keyframe row
         X = jnp.where(enable_refine, Xr.astype(f32), X)
         if r == 0:
             cost0 = info["cost0"].astype(f32)
@@ -1887,7 +1888,8 @@ class ScanSfM:
         Xn, info = ba_ops.refine_points(
             prob, iters=self.cfg.ba.global_iters,
             lambda0=self.cfg.ba.lambda0,
-            huber_delta=self.cfg.ba.huber_delta / fx)
+            huber_delta=self.cfg.ba.huber_delta / fx,
+            max_obs_per_point=prob.R_wc.shape[0])
         Xn = np.asarray(Xn, np.float64)[:n_pts]
         log.info("structure refine: cost %.3e -> %.3e (%d kfs, %d pts, "
                  "%d obs)", float(info["cost0"]), float(info["cost"]),

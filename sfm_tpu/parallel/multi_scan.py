@@ -481,13 +481,18 @@ def run_scenes_scan(datasets, cfg: SystemConfig, frames: int | None = None,
     D_ = int(carry.ring.desc.shape[2])
     P_ = int(carry.X.shape[1])
     drain_flat = np.asarray(_drain_stage_scenes(carry), np.float64)
+    t2a = time.perf_counter()
+    tm["finalize_drain"] = t2a - t2
     for s in range(S):
         views[s].finalize(
             drained=sp._unpack_drain(drain_flat[s], K_, T_, D_, P_),
             refine=False)
+    t2b = time.perf_counter()
+    tm["finalize_host"] = t2b - t2a
     # the refinement rounds run batched across scenes: one vmapped
     # device program instead of 2×S round-trips
     _refine_scenes(views, cfg, carry)
+    tm["finalize_refine"] = time.perf_counter() - t2b
     tm["finalize"] = time.perf_counter() - t2
     if out_dirs is not None:
         for s in range(S):
