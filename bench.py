@@ -557,8 +557,8 @@ def main():
     # the axon relay shows ±20-40% run-to-run load variance and a single
     # sample is not a reproducible record (VERDICT r3 weak #1).
     run_ours(data_root)
-    runs = sorted((run_ours(data_root) for _ in range(3)),
-                  key=lambda r: r["fps"])
+    raw_runs = [run_ours(data_root) for _ in range(3)]
+    runs = sorted(raw_runs, key=lambda r: r["fps"])
     ours = runs[1]
     ours_spread = (runs[0]["fps"], runs[2]["fps"])
     ms = bench_multiscene(data_root)
@@ -629,9 +629,11 @@ def main():
         "multiscene_n": ms["scenes"],
     }
     try:
-        # the reference's own eval binaries on this run's exported CSVs
+        # the reference's own eval binaries on the exported CSVs — the
+        # CSVs on disk come from the LAST timed run, so take its keyframe
+        # count (not the median run's) in case repeats ever diverge
         ref = ref_tools_on_artifacts(data_root, BENCH_DIR / "tpu_out",
-                                     ours["keyframes"])
+                                     raw_runs[-1]["keyframes"])
         line.update({k: (round(v, 6) if isinstance(v, float) else v)
                      for k, v in ref.items()})
     except Exception as e:  # pragma: no cover

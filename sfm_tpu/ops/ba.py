@@ -29,6 +29,7 @@ import jax
 import jax.numpy as jnp
 
 from sfm_tpu.ops import lie, linalg
+from sfm_tpu.utils import debug
 
 
 class BAProblem(NamedTuple):
@@ -421,12 +422,24 @@ def _point_gather_plan(pid_idx, obs_valid, P: int, cap: int):
     M = pid_idx.shape[0]
     i32 = jnp.int32
     seg = jnp.where(obs_valid, pid_idx, P).astype(i32)
-    order = jnp.argsort(seg)
+    order = jnp.argsort(seg).astype(i32)
     sorted_ids = seg[order]
     starts = jnp.searchsorted(sorted_ids, jnp.arange(P, dtype=i32))
     rank = (jnp.arange(M, dtype=i32)
             - starts[jnp.clip(sorted_ids, 0, P - 1)])
     ok = (sorted_ids < P) & (rank < cap)
+    if debug.numeric_checks_enabled():
+        # a too-small cap silently under-assembles the Hessian (rows past
+        # cap are dropped); surface it under the opt-in sanitizer flag
+        overflow = jnp.sum((sorted_ids < P) & (rank >= cap))
+
+        def _check(n, _cap=int(cap)):
+            if int(n):
+                raise FloatingPointError(
+                    f"_point_gather_plan: {int(n)} observations exceed "
+                    f"max_obs_per_point={_cap} and would be dropped")
+
+        jax.debug.callback(_check, overflow)
     G = jnp.full((P, cap), M, i32)
     G = G.at[jnp.where(ok, sorted_ids, P),
              jnp.clip(rank, 0, cap - 1)].set(order, mode="drop")

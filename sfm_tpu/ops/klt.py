@@ -47,6 +47,9 @@ def _use_pallas() -> bool:
         return False
 
 
+_LK_DTYPE_RESOLVED = None  # memoized by _lk_dtype(); patch this in tests
+
+
 def _lk_dtype():
     """Block-storage dtype for the LK load/iterate path.
 
@@ -59,15 +62,27 @@ def _lk_dtype():
     2x2 normal equations still ACCUMULATE in f32 (_bil_t upcasts at the
     patch read). Default bf16 on TPU, f32 elsewhere; SFM_TPU_LK_BF16=0/1
     overrides (validated by tests/test_klt.py::test_lk_bf16_matches_f32
-    and the bench ATE)."""
+    and the bench ATE).
+
+    Resolved ONCE (first call) and memoized: the choice is read at trace
+    time inside jitted callers whose cache keys do not include the env
+    var, so a mid-process env toggle could otherwise silently no-op
+    depending on compile-cache state. Tests that need both paths patch
+    ``_LK_DTYPE_RESOLVED`` and ``jax.clear_caches()``."""
+    global _LK_DTYPE_RESOLVED
+    if _LK_DTYPE_RESOLVED is not None:
+        return _LK_DTYPE_RESOLVED
     env = os.environ.get("SFM_TPU_LK_BF16", "").strip()
     if env in ("0", "1"):
-        return jnp.bfloat16 if env == "1" else jnp.float32
-    try:
-        return jnp.bfloat16 if jax.default_backend() == "tpu" \
-            else jnp.float32
-    except Exception:
-        return jnp.float32
+        dt = jnp.bfloat16 if env == "1" else jnp.float32
+    else:
+        try:
+            dt = (jnp.bfloat16 if jax.default_backend() == "tpu"
+                  else jnp.float32)
+        except Exception:
+            dt = jnp.float32
+    _LK_DTYPE_RESOLVED = dt
+    return dt
 
 
 def _bil_patch(block, fx, fy, P: int, ox: int, oy: int):

@@ -308,3 +308,18 @@ def test_refine_points_structure_only(rng):
     err1 = np.linalg.norm(np.asarray(Xn) - Xgt, axis=1).mean()
     assert float(info["cost"]) < float(info["cost0"]) * 1e-2
     assert err1 < err0 * 0.05, (err0, err1)
+
+    # an undersized max_obs_per_point silently under-assembles the
+    # Hessian; under the opt-in sanitizer flag it must be detected
+    # (each point has F=4 observations, so cap=2 drops two per point)
+    import jax
+
+    from sfm_tpu.utils import debug as dbg
+
+    dbg.enable_numeric_checks(True)
+    try:
+        with pytest.raises(Exception, match="exceed"):
+            out = ba_ops.refine_points(prob, iters=1, max_obs_per_point=2)
+            jax.block_until_ready(out[0])
+    finally:
+        dbg.enable_numeric_checks(False)

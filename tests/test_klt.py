@@ -137,17 +137,18 @@ def test_lk_bf16_matches_f32(rng, monkeypatch):
         jnp.asarray(img0), jnp.zeros((1, 2)), jnp.zeros(1, bool),
         max_new=128, cell=10)
 
-    def run():
+    def run(dt):
         import jax
 
-        jax.clear_caches()  # the dtype choice is read at trace time
+        # the resolved dtype is memoized module state read at trace time,
+        # so patch it directly and drop the stale compile cache
+        monkeypatch.setattr(klt, "_LK_DTYPE_RESOLVED", dt)
+        jax.clear_caches()
         return klt.lk_track_fb(pyr0, pyr1, xy, valid, levels=3, iters=10,
                                radius=5)
 
-    monkeypatch.setenv("SFM_TPU_LK_BF16", "0")
-    new32, ok32 = map(np.asarray, run())
-    monkeypatch.setenv("SFM_TPU_LK_BF16", "1")
-    new16, ok16 = map(np.asarray, run())
+    new32, ok32 = map(np.asarray, run(jnp.float32))
+    new16, ok16 = map(np.asarray, run(jnp.bfloat16))
     both = ok32 & ok16
     assert both.sum() > 20
     # near-identical survivor sets and sub-1e-2 px flow agreement
