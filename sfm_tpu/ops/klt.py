@@ -50,6 +50,19 @@ def _use_pallas() -> bool:
 _LK_DTYPE_RESOLVED = None  # memoized by _lk_dtype(); patch this in tests
 
 
+def _use_fused_lk() -> bool:
+    """Fused Pallas LK-iteration kernel (ops/pallas/lk_iter_kernel):
+    the entire per-level iteration loop runs with the track tile's
+    blocks pinned in VMEM, eliminating the per-iteration HBM re-stream
+    of the (WIN, WIN, T) block array that dominates lk_track_fb
+    (tools/bench_prefix_stages.py). SFM_TPU_LK_FUSED=0/1 overrides; the
+    default follows the _use_pallas() gate at the call site."""
+    env = os.environ.get("SFM_TPU_LK_FUSED", "").strip()
+    if env in ("0", "1"):
+        return env == "1"
+    return True
+
+
 def _lk_dtype():
     """Block-storage dtype for the LK load/iterate path.
 
@@ -104,6 +117,26 @@ def _bil_patch(block, fx, fy, P: int, ox: int, oy: int):
     )
 
 
+def _load_blocks_raw(img, origins, P: int, margin: int):
+    """Raw Pallas block gather for the search-margin blocks: one
+    tile-aligned (WIN+slack, WIN) VMEM read per track, NO row-remainder
+    correction. Returns (blocks (T, WIN+slack, WIN), start (T,2) float
+    clipped top-left, d (T,) i32 row remainder of the aligned anchor).
+    Callers either barrel-shift the remainder out (``_load_blocks``) or
+    compose it into their own shift ladder (``lk_iter_pallas``)."""
+    WIN = P + 2 * margin + 3
+    H, W = img.shape
+    start = jnp.floor(jnp.nan_to_num(origins)) - (margin + 1)
+    start = jnp.clip(start, 0.0, jnp.array([W - WIN, H - WIN], origins.dtype))
+    starts = start.astype(jnp.int32)
+    from sfm_tpu.ops.pallas.block_gather_kernel import load_blocks_pallas
+
+    blocks, anchors = load_blocks_pallas(
+        img, starts, WIN, interpret=jax.default_backend() != "tpu")
+    d = starts[:, 1] - anchors[:, 1]  # 0..slack-1 row remainder
+    return blocks, start, d
+
+
 def _load_blocks(img, origins, P: int, margin: int):
     """One contiguous square block per track around each float patch
     origin. Returns (blocks (T,WIN,WIN), anchors (T,2) float top-left).
@@ -134,12 +167,7 @@ def _load_blocks(img, origins, P: int, margin: int):
     # passing flows than the XLA path, and on the 47-frame bench that
     # deterministically tripled the trajectory ATE.)
     if margin > 0 and WIN <= 128 and H >= WIN and W >= WIN and _use_pallas():
-        from sfm_tpu.ops.pallas.block_gather_kernel import load_blocks_pallas
-
-        blocks, anchors = load_blocks_pallas(
-            img, starts, WIN,
-            interpret=jax.default_backend() != "tpu")
-        d = starts[:, 1] - anchors[:, 1]  # 0..slack-1 row remainder
+        blocks, start, d = _load_blocks_raw(img, origins, P, margin)
         slack = blocks.shape[1] - WIN  # 8 (f32) or 16 (bf16 sublane tile)
         k = 1
         while k < slack:
@@ -273,6 +301,29 @@ def _lk_level(img0, img1, p0_l, v, iters: int, radius: int, min_det: float,
 
     # template: fixed patch from img0 (no search margin)
     blk0, a0 = _load_blocks(img0, p0_l - radius, P, margin=0)
+
+    WIN = P + 2 * margin + 3
+    H1, W1 = img1.shape
+    if (margin > 0 and WIN <= 128 and H1 >= WIN and W1 >= WIN
+            and _use_pallas() and _use_fused_lk()):
+        # fused path: raw aligned gather + the whole iteration loop in
+        # one kernel (same clamp bounds and shift selections as below —
+        # the row remainder is composed into the kernel's ladder)
+        from sfm_tpu.ops.pallas.lk_iter_kernel import lk_iter_pallas
+
+        B0 = jnp.transpose(blk0, (1, 2, 0))
+        qii0, f0 = _qf(p0_l - radius, a0, P, B0.shape[1], B0.shape[0])
+        sub0 = _barrel_take(
+            _barrel_take(B0, qii0[:, 1], S, 0), qii0[:, 0], S, 1)
+        tmpl = _bil_t(sub0, f0[:, 0], f0[:, 1], P, 0, 0)  # (P,P,T)
+        blocks_raw, a1, d1 = _load_blocks_raw(
+            img1, p0_l + v - radius, P, margin)
+        return lk_iter_pallas(
+            blocks_raw, d1, tmpl, p0_l - radius - a1, v,
+            P=P, slack=int(blocks_raw.shape[1]) - WIN, iters=iters,
+            min_det=float(min_det),
+            interpret=jax.default_backend() != "tpu")
+
     # target: one block per track with the search margin, loaded once
     blk1, a1 = _load_blocks(img1, p0_l + v - radius, P, margin=margin)
 

@@ -135,6 +135,10 @@ def test_lk_track_pallas_path_bit_identical(rng, monkeypatch):
     pyr0 = (jnp.asarray(img0),)
     pyr1 = (jnp.asarray(img1),)
     outs = {}
+    # pin the fused iteration kernel OFF: this test certifies the BLOCK
+    # LOADER equivalence (bit-identical); the fused kernel's reduction
+    # order differs at float rounding and has its own parity test below
+    monkeypatch.setenv("SFM_TPU_LK_FUSED", "0")
     for flag in ("0", "1"):
         monkeypatch.setenv("SFM_TPU_PALLAS", flag)
         jax.clear_caches()
@@ -144,6 +148,58 @@ def test_lk_track_pallas_path_bit_identical(rng, monkeypatch):
         outs[flag] = (np.asarray(p), np.asarray(ok))
     np.testing.assert_array_equal(outs["0"][0], outs["1"][0])
     np.testing.assert_array_equal(outs["0"][1], outs["1"][1])
+
+
+def test_lk_fused_iter_matches_xla(rng, monkeypatch):
+    """The fused Pallas LK-iteration kernel (whole iteration loop with
+    VMEM-resident blocks, ops/pallas/lk_iter_kernel) must reproduce the
+    XLA barrel-shift path's flows to float rounding: identical clamp
+    bounds and shift selections, only the (deterministic) reduction
+    order of the 2x2 normal equations differs."""
+    import jax
+
+    img0 = jnp.asarray(make_textured(rng, 120, 160))
+    img1 = jnp.roll(img0, (2, -3), axis=(0, 1))
+    T = 150
+    pts = jnp.asarray(rng.uniform(20, [140, 100], (T, 2)), jnp.float32)
+    v0 = jnp.zeros((T, 2), jnp.float32)
+
+    def run(fused):
+        monkeypatch.setenv("SFM_TPU_PALLAS", "1")
+        monkeypatch.setenv("SFM_TPU_LK_FUSED", "1" if fused else "0")
+        jax.clear_caches()
+        return np.asarray(klt._lk_level(img0, img1, pts, v0, 8, 6, 1e-4))
+
+    v_xla = run(False)
+    v_fused = run(True)
+    np.testing.assert_allclose(v_fused, v_xla, atol=1e-4)
+    # converged tracks (the vast majority on a pure-shift image) agree
+    # far tighter than the fb-gate/keyframe scales that consume them
+    med = np.median(np.abs(v_fused - v_xla))
+    assert med < 1e-5, med
+
+
+def test_lk_fused_iter_garbage_positions(rng, monkeypatch):
+    """Dead/lost slots carry NaN positions; the fused kernel must stay
+    in-bounds (ladder rolls wrap) and return finite flows for the valid
+    slots while garbage slots are free to return garbage — exactly the
+    XLA path's contract."""
+    import jax
+
+    img0 = jnp.asarray(make_textured(rng, 120, 160))
+    img1 = jnp.roll(img0, (1, -2), axis=(0, 1))
+    T = 64
+    pos = rng.uniform([20, 20], [140, 100], (T, 2)).astype(np.float32)
+    bad = rng.random(T) < 0.4
+    pos[bad] = np.nan
+    monkeypatch.setenv("SFM_TPU_PALLAS", "1")
+    monkeypatch.setenv("SFM_TPU_LK_FUSED", "1")
+    jax.clear_caches()
+    v = np.asarray(klt._lk_level(jnp.asarray(img0), jnp.asarray(img1),
+                                 jnp.asarray(pos),
+                                 jnp.zeros((T, 2), jnp.float32),
+                                 8, 6, 1e-4))
+    assert np.isfinite(v[~bad]).all()
 
 
 def test_pallas_kernels_x64_clean():
@@ -189,6 +245,8 @@ def test_pallas_kernels_x64_clean():
                     inner = getattr(inner, "jaxpr", inner)
                     assert_no_64bit(inner, where)
 
+    from sfm_tpu.ops.pallas.lk_iter_kernel import lk_iter_pallas
+
     traces = []
     img = jnp.zeros((64, 256), jnp.float32)
     starts = jnp.zeros((512, 2), jnp.int32)
@@ -197,6 +255,15 @@ def test_pallas_kernels_x64_clean():
     traces.append(jax.make_jaxpr(
         lambda i: shi_tomasi_kernel.shi_tomasi_score_pallas(
             i, block_radius=2))(img))
+    T, P, WIN, slack = 200, 13, 28, 8
+    traces.append(jax.make_jaxpr(
+        lambda b, d, t, ba, v: lk_iter_pallas(
+            b, d, t, ba, v, P=P, slack=slack, iters=4, min_det=1e-4))(
+        jnp.zeros((T, WIN + slack, WIN), jnp.float32),
+        jnp.zeros((T,), jnp.int32),
+        jnp.zeros((P, P, T), jnp.float32),
+        jnp.zeros((T, 2), jnp.float32),
+        jnp.zeros((T, 2), jnp.float32)))
 
     found = 0
     for jx in traces:
@@ -218,4 +285,4 @@ def test_pallas_kernels_x64_clean():
                     if dt is not None:
                         assert jnp.dtype(dt).itemsize <= 4, (
                             f"64-bit index-map output: {imj}")
-    assert found == 2
+    assert found == 3
