@@ -255,10 +255,74 @@ def ref_tools_on_artifacts(data_root: Path, out_dir: Path, n_kf: int) -> dict:
         txt = _run("ate_keyframes", "--par", par, "--keyframes", kf_csv,
                    "--start", 0, "--count", n_kf, mode)
         out[f"ref_tool_ate_{tag}"] = _val(txt, "ATE_RMSE")
+        if tag == "sim3":
+            # the Sim(3) alignment scale documents HOW arbitrary the
+            # monocular export's scale is — the se3 number above is a
+            # scale-gap measurement, not an accuracy one (see
+            # bench_gtscale_se3 for the metric-scale SE(3) evaluation)
+            out["ref_tool_sim3_scale"] = _val(txt, "scale (s)")
     txt = _run("gt_keyframe_edge", "--par", par, "--keyframes", kf_csv,
                "--i", 0, "--j", 1, "--edges", edges_csv)
     out["ref_edge01_rot_deg"] = _val(txt, "rotation error (deg)")
     out["ref_edge01_tdir_deg"] = _val(txt, "translation direction error (deg)")
+    return out
+
+
+def bench_gtscale_se3(data_root: Path) -> dict:
+    """A MEANINGFUL SE(3) evaluation (ref py:888-898 ``--use-gt-scale``).
+
+    The headline export is a monocular trajectory at arbitrary scale, so
+    ``ate_keyframes --se3`` (no scale in the alignment) on it measures
+    the scale gap, not accuracy — that number is recorded but annotated.
+    The reference's own published SE(3) numbers (BASELINE SE(3) rows,
+    alignment scale ~0.983) come from near-metric-scale exports; this
+    variant reproduces that regime: each keyframe edge is scaled by the
+    GT baseline (exactly the reference's --use-gt-scale, py:888-898),
+    exported, and graded by the reference-built ate_keyframes in BOTH
+    modes. Target: SE(3) ~ Sim(3) (reference: 0.014772 vs 0.014036)."""
+    import dataclasses as _dc
+
+    from sfm_tpu.models.scan_pipeline import ScanSfM
+    from sfm_tpu.utils.dataset import TempleRing
+
+    ds = TempleRing.from_dir(data_root / "templeRing")
+    cfg = _dc.replace(bench_config(FRAMES), use_gt_scale=True)
+    grays = [ds.load_gray(i) for i in range(FRAMES)]
+    s = ScanSfM(ds.K, cfg, n_frames=FRAMES, chunk=16,
+                gt_records=ds.records)
+    t0 = time.perf_counter()
+    for i in range(FRAMES):
+        s.process(i, ds.records[i].img, grays[i])
+    s.finalize()
+    dt = time.perf_counter() - t0
+    out_dir = BENCH_DIR / "tpu_out_gtscale"
+    s.export(out_dir, dataset=ds)
+    build = BENCH_DIR / "refbuild"
+    par = data_root / "templeRing" / "templeR_par.txt"
+    kf_csv = out_dir / "keyframes_camera_centers.csv"
+    out = {"keyframes": len(s.kfs), "wall_s_cold": round(dt, 3)}
+    # grade BOTH at the reference's published regime (N=4 keyframe
+    # subset — BASELINE.md SE(3) rows are N=2/N=4) and the full
+    # trajectory; suffix "_n4" marks the reference-regime numbers
+    counts = [(len(s.kfs), "")]
+    if len(s.kfs) >= 4:
+        counts.append((4, "_n4"))
+    for count, sfx in counts:
+        for mode, tag in (("--sim3", "sim3"), ("--se3", "se3")):
+            res = subprocess.run(
+                [str(build / "ate_keyframes"), "--par", str(par),
+                 "--keyframes", str(kf_csv), "--start", "0",
+                 "--count", str(count), mode],
+                capture_output=True, text=True)
+            if res.returncode != 0:
+                raise RuntimeError(res.stderr[-300:])
+            for ln in res.stdout.splitlines():
+                if "ATE_RMSE" in ln:
+                    out[f"ref_tool_ate_{tag}{sfx}"] = float(
+                        ln.split(":")[-1])
+                if tag == "sim3" and "scale (s)" in ln:
+                    out[f"alignment_scale{sfx}"] = float(
+                        ln.split(":")[-1])
     return out
 
 
@@ -494,10 +558,22 @@ def bench_stock_thresholds(data_root: Path) -> dict:
 
 
 def bench_dense_variant(n_frames: int = 94) -> dict:
-    """Keyframe-policy variant: the same 360° ring sampled at 2x frame
-    density (~10px median flow < the 18px parallax gate), so the
-    non-keyframe branch of the frame loop runs at bench scale
-    (ref keyframe gate py:915-920)."""
+    """Keyframe-gate SKIP-path variant at the STOCK gate (ref py:915-920,
+    config.json parallax_px=18 / min_gap=1 / min_inliers=200 — nothing
+    overridden).
+
+    The headline 47-frame ring moves ~20-30px/frame, so the stock 18px
+    parallax gate keyframes every frame (47/47) and its skip branch never
+    runs. Real TempleRing flow straddles the gate (the reference's
+    committed run selects 8 keyframes from 12 frames); this variant
+    reproduces that regime with a NON-UNIFORM ring — increments
+    alternating (small, large) ≈ (2.4°, 5.4°) → per-frame median flow
+    ~8px / ~19px, cumulative-from-last-keyframe ~8px / ~27px — so the
+    unmodified gate skips every other frame at bench scale while the
+    selected keyframes keep ~7.8° spacing (the headline ring's 7.66°),
+    holding ATE well under the 1% target. (A first cut used a
+    (2.3°,2.3°,7.0°) 3-cycle: 32 kf / 94 frames but the 11.25° keyframe
+    spacing pushed ATE to 2.4%.)"""
     import jax.numpy as jnp
 
     from sfm_tpu.models.scan_pipeline import ScanSfM
@@ -505,24 +581,24 @@ def bench_dense_variant(n_frames: int = 94) -> dict:
     from sfm_tpu.utils.dataset import TempleRing
     from sfm_tpu.utils.synthetic import SyntheticRingSpec, generate_dataset
 
-    root = BENCH_DIR / "data_dense" / "templeRing"
+    root = BENCH_DIR / "data_stockgate2" / "templeRing"
     if not (root / "templeR_par.txt").exists():
+        a = 2.4
+        n_inc = n_frames - 1
+        n_large = n_inc // 2
+        n_small = n_inc - n_large
+        b = (360.0 - n_small * a) / n_large
+        pattern = ([a, b] * ((n_inc + 1) // 2))[:n_inc]
+        lons = np.concatenate([[0.0], np.cumsum(pattern)])
         spec = SyntheticRingSpec(
             n_frames=n_frames, width=640, height=480, fx=1520.0, fy=1520.0,
             cylinder_radius=0.10, cylinder_zmin=-0.10, cylinder_zmax=0.10,
-            ring_radius=0.60, ring_z=0.05, arc_deg=360.0, texture_blur=1.5,
+            ring_radius=0.60, ring_z=0.05,
+            path_lons_deg=tuple(lons), texture_blur=1.5,
         )
         generate_dataset(root, spec, name_prefix="templeR")
     ds = TempleRing.from_dir(root)
-    cfg = bench_config(n_frames)
-    # min_gap cadence: ~12px inter-frame flow passes a 10px gate but the
-    # gap gate admits every 2nd frame -> keyframes ~= frames/2, so the
-    # skip-frame branch runs for half the sequence while keyframe spacing
-    # (and hence accuracy) matches the main 47-frame bench
-    import dataclasses as _dc
-
-    cfg = _dc.replace(
-        cfg, keyframe=_dc.replace(cfg.keyframe, min_gap=2, parallax_px=10.0))
+    cfg = bench_config(n_frames)  # stock keyframe gate — no overrides
     grays = [ds.load_gray(i) for i in range(n_frames)]
 
     def one_run():
@@ -579,18 +655,22 @@ def main():
         "ate_ratio_extent": ms["ate_ratio_extent"],
     }))
     print(json.dumps({
-        "metric": "dense94_keyframe_policy_variant",
+        "metric": "stockgate94_keyframe_policy",
         "value": round(dense["fps"], 3),
         "unit": "frames/s",
+        "parallax_px": 18.0,  # stock gate, nothing overridden
+        "min_gap": 1,
         "keyframes": dense["keyframes"],
         "skipped_frames": dense["skipped_frames"],
         "ate_ratio_extent": round(dense["ate_ratio_extent"], 5),
     }))
     # optional lines: never let a failure here eat the headline
+    # NOTE: the host pipeline (models/system.py) is deliberately NOT
+    # benched on TPU: it is the host-driven debugging/verification twin
+    # (eager per-frame stepping, inspectable state) — the scan pipeline
+    # is the TPU production path. See README "Two pipelines".
     for name, fn in (
         ("hyp4096_pair_stage", lambda: bench_hyp4096(data_root)),
-        ("host_pipeline_smoke",
-         lambda: bench_host_pipeline_smoke(data_root)),
         ("stock_reference_thresholds",
          lambda: bench_stock_thresholds(data_root)),
     ):
@@ -607,6 +687,19 @@ def main():
         except Exception as e:  # pragma: no cover
             print(json.dumps({"metric": name, "error": str(e)[:300]}),
                   file=sys.stderr)
+    gts = None
+    try:
+        gts = bench_gtscale_se3(data_root)
+        print(json.dumps({
+            "metric": "gtscale_se3_parity",
+            "value": round(gts["ref_tool_ate_se3"], 6),
+            "unit": "ate_rmse_se3_gt_scaled",
+            **{k: (round(v, 6) if isinstance(v, float) else v)
+               for k, v in gts.items() if k != "ref_tool_ate_se3"},
+        }))
+    except Exception as e:  # pragma: no cover
+        print(json.dumps({"metric": "gtscale_se3_parity",
+                          "error": str(e)[:300]}), file=sys.stderr)
     line = {
         "metric": "frames_per_sec_47img_templering",
         "value": round(ours["fps"], 3),
@@ -639,6 +732,13 @@ def main():
     except Exception as e:  # pragma: no cover
         print(json.dumps({"metric": "ref_tools_on_artifacts",
                           "error": str(e)[:300]}), file=sys.stderr)
+    if gts is not None:
+        # the headline carries BOTH se3 flavors: raw (arbitrary monocular
+        # scale — a scale-gap number) and the gt-scaled parity run
+        line["ref_tool_ate_se3_gtscale"] = round(
+            gts["ref_tool_ate_se3"], 6)
+        line["ref_tool_ate_sim3_gtscale"] = round(
+            gts["ref_tool_ate_sim3"], 6)
     print(json.dumps(line))
 
 

@@ -42,6 +42,7 @@ non-keyframes skip the heavy geometry), replacing the reference's
 
 from __future__ import annotations
 
+import dataclasses
 import logging
 from functools import partial
 from typing import NamedTuple
@@ -1762,6 +1763,42 @@ class ScanSfM:
                     X = self._refine_structure(R_cw, t_cw, pid, uv,
                                                tvalid, X)
 
+        # gt-scale re-anchor: the window BA fixes only its oldest camera
+        # (ref py:741 — same gauge as the reference's LocalBA), so the
+        # monocular scale gauge drifts NON-UNIFORMLY over a long run even
+        # when every keyframe EDGE was created at the GT baseline (ref
+        # py:888-898 scale_translation; measured: ~20% over 47
+        # keyframes, and a single global rescale only moved the Umeyama
+        # alignment scale 1.199 -> 1.173). Re-apply the SAME per-edge GT
+        # information once more at finalize: re-integrate the trajectory
+        # keeping the optimized edge DIRECTIONS and rotations but setting
+        # each consecutive-keyframe baseline to its GT length — exactly
+        # the reference's scale_translation semantic, applied to the
+        # final (BA/pose-graph-corrected) geometry. The map is rescaled
+        # by the median edge ratio about the first keyframe (a global
+        # approximation; the metric contract of --use-gt-scale is the
+        # trajectory). The reference's published SE(3) regime (N=2/N=4
+        # keyframe subsets, BASELINE.md) never exposes this drift.
+        s_edge = None
+        s_anchor = 1.0
+        if self.cfg.use_gt_scale and self._gt_C is not None and n_kf >= 2:
+            gt = np.asarray(self._gt_C, np.float64)[
+                np.asarray(frames[:n_kf], int)]
+            # ring poses are cam->world (see _wc): t_cw IS the camera
+            # center (Keyframe.center returns it verbatim)
+            C = np.asarray(t_cw[:n_kf], np.float64)
+            dC = np.diff(C, axis=0)
+            eb = np.linalg.norm(dC, axis=1)
+            gb = np.linalg.norm(np.diff(gt, axis=0), axis=1)
+            ok = eb > 1e-12
+            if ok.any():
+                s_edge = np.where(ok, gb / np.where(ok, eb, 1.0), 1.0)
+                s_anchor = float(np.median(s_edge[ok]))
+                t_cw = np.concatenate(
+                    [C[:1], C[0] + np.cumsum(s_edge[:, None] * dC, 0)])
+                if len(X):
+                    X = C[0] + s_anchor * (X - C[0])
+
         self.kfs = [
             Keyframe(kf_id=k, frame_idx=int(frames[k]),
                      img_name=self._names[int(frames[k])],
@@ -1770,6 +1807,17 @@ class ScanSfM:
             for k in range(n_kf)
         ]
         self.edges = self._drain_edges(drained=d)
+        if s_edge is not None:
+            # odometry edge (k-1 -> k) gets ITS re-integrated edge scale;
+            # loop edges (arbitrary i -> j) get the median
+            self.edges = [
+                dataclasses.replace(
+                    e, t_ji=e.t_ji * (
+                        s_edge[e.j - 1]
+                        if not e.is_loop and 1 <= e.j <= len(s_edge)
+                        else s_anchor))
+                for e in self.edges
+            ]
         self._X = X
         self._ring_pid = pid  # (n_kf, T) observation matrix, for tooling
 

@@ -295,6 +295,13 @@ def test_scan_use_gt_scale(synthetic_ring):
     assert 0.9 < extent_est / extent_gt < 1.1, "not metric scale"
     res = umeyama.ate(jnp.asarray(est), jnp.asarray(gt), with_scale=False)
     assert float(res["rmse"]) / extent_gt < 0.06
+    # the finalize re-anchor re-integrates the trajectory with every
+    # consecutive-keyframe baseline set to its GT length (the window
+    # BA's free gauge otherwise re-drifts the scale the keyframe edges
+    # were created at) — exact by construction
+    eb = np.linalg.norm(np.diff(est, axis=0), axis=1)
+    gb = np.linalg.norm(np.diff(gt, axis=0), axis=1)
+    np.testing.assert_allclose(eb, gb, rtol=1e-5)
 
 
 def test_scan_loop_closure_orb_flavor(out_and_back_ds):
