@@ -180,7 +180,10 @@ def run_ours(data_root: Path, frames: int = FRAMES, pipeline: str = "scan",
     if pipeline == "scan":
         from sfm_tpu.models.scan_pipeline import ScanSfM
 
-        sys_ = ScanSfM(ds.K, cfg, n_frames=FRAMES, chunk=16)
+        # chunk=32: measured sweep 8/16/32/47 -> 17.7/19.2/21.1/21.0
+        # fps (v5e, median of 5) — 32 halves the per-chunk host sync
+        # count at equal tail-flush cost; 47 gains nothing more
+        sys_ = ScanSfM(ds.K, cfg, n_frames=FRAMES, chunk=32)
     else:
         from sfm_tpu.models.system import SfMSystem
 
@@ -288,7 +291,7 @@ def bench_gtscale_se3(data_root: Path) -> dict:
     ds = TempleRing.from_dir(data_root / "templeRing")
     cfg = _dc.replace(bench_config(FRAMES), use_gt_scale=True)
     grays = [ds.load_gray(i) for i in range(FRAMES)]
-    s = ScanSfM(ds.K, cfg, n_frames=FRAMES, chunk=16,
+    s = ScanSfM(ds.K, cfg, n_frames=FRAMES, chunk=32,
                 gt_records=ds.records)
     t0 = time.perf_counter()
     for i in range(FRAMES):
@@ -534,7 +537,7 @@ def bench_stock_thresholds(data_root: Path) -> dict:
     grays = [ds.load_gray(i) for i in range(FRAMES)]
 
     def one_run():
-        s = ScanSfM(ds.K, cfg, n_frames=FRAMES, chunk=16)
+        s = ScanSfM(ds.K, cfg, n_frames=FRAMES, chunk=32)
         t0 = time.perf_counter()
         for i in range(FRAMES):
             s.process(i, ds.records[i].img, grays[i])
@@ -602,7 +605,7 @@ def bench_dense_variant(n_frames: int = 94) -> dict:
     grays = [ds.load_gray(i) for i in range(n_frames)]
 
     def one_run():
-        s = ScanSfM(ds.K, cfg, n_frames=n_frames, chunk=16)
+        s = ScanSfM(ds.K, cfg, n_frames=n_frames, chunk=32)
         t0 = time.perf_counter()
         for i in range(n_frames):
             s.process(i, ds.records[i].img, grays[i])
