@@ -63,6 +63,21 @@ def _use_fused_lk() -> bool:
     return True
 
 
+def _use_fused_tmpl() -> bool:
+    """In-kernel template extraction for the fused LK path: the
+    template blocks ride the SAME Pallas gather as the target blocks
+    (load_blocks_pair_pallas — one per-track loop for both reads) and
+    the (P,P,T) template patch is built inside the iteration kernel,
+    removing the last XLA-side patch machinery (strips load + barrel
+    takes + _bil_t; measured ~1.5 ms of the 6.2 ms lk_track_fb at bench
+    scale). SFM_TPU_LK_FUSED_TMPL=0/1 overrides; default on wherever
+    the fused kernel runs."""
+    env = os.environ.get("SFM_TPU_LK_FUSED_TMPL", "").strip()
+    if env in ("0", "1"):
+        return env == "1"
+    return True
+
+
 def _lk_dtype():
     """Block-storage dtype for the LK load/iterate path.
 
@@ -299,13 +314,46 @@ def _lk_level(img0, img1, p0_l, v, iters: int, radius: int, min_det: float,
     P = 2 * radius + 1
     S = P + 3
 
+    WIN = P + 2 * margin + 3
+    H1, W1 = img1.shape
+    fused_ok = (margin > 0 and WIN <= 128 and H1 >= WIN and W1 >= WIN
+                and _use_pallas() and _use_fused_lk())
+    interp = jax.default_backend() != "tpu"
+
+    if fused_ok and _use_fused_tmpl() and img0.shape == img1.shape:
+        # fully fused path: ONE pair gather (template + search blocks
+        # in one per-track loop) + the whole iteration loop in one
+        # kernel with in-VMEM template extraction. Anchor/clamp
+        # semantics are the XLA paths' exactly: clipped float starts,
+        # f0 = q0 - 1 (margin=0 makes `_qf`'s qi identically 1).
+        from sfm_tpu.ops.pallas.block_gather_kernel import (
+            load_blocks_pair_pallas)
+        from sfm_tpu.ops.pallas.lk_iter_kernel import lk_iter_tmpl_pallas
+
+        WIN0 = P + 3
+        o0 = p0_l - radius
+        start0 = jnp.floor(jnp.nan_to_num(o0)) - 1.0
+        start0 = jnp.clip(start0, 0.0,
+                          jnp.array([W1 - WIN0, H1 - WIN0], o0.dtype))
+        o1 = p0_l + v - radius
+        start1 = jnp.floor(jnp.nan_to_num(o1)) - (margin + 1)
+        start1 = jnp.clip(start1, 0.0,
+                          jnp.array([W1 - WIN, H1 - WIN], o1.dtype))
+        b0, a0i, b1, a1i = load_blocks_pair_pallas(
+            img0, start0.astype(jnp.int32), WIN0,
+            img1, start1.astype(jnp.int32), WIN, interpret=interp)
+        d0 = start0.astype(jnp.int32)[:, 1] - a0i[:, 1]
+        d1 = start1.astype(jnp.int32)[:, 1] - a1i[:, 1]
+        return lk_iter_tmpl_pallas(
+            b1, d1, b0, d0, (o0 - start0) - 1.0, o0 - start1, v,
+            P=P, slack=int(b1.shape[1]) - WIN,
+            slack0=int(b0.shape[1]) - WIN0, iters=iters,
+            min_det=float(min_det), interpret=interp)
+
     # template: fixed patch from img0 (no search margin)
     blk0, a0 = _load_blocks(img0, p0_l - radius, P, margin=0)
 
-    WIN = P + 2 * margin + 3
-    H1, W1 = img1.shape
-    if (margin > 0 and WIN <= 128 and H1 >= WIN and W1 >= WIN
-            and _use_pallas() and _use_fused_lk()):
+    if fused_ok:
         # fused path: raw aligned gather + the whole iteration loop in
         # one kernel (same clamp bounds and shift selections as below —
         # the row remainder is composed into the kernel's ladder)
@@ -321,8 +369,7 @@ def _lk_level(img0, img1, p0_l, v, iters: int, radius: int, min_det: float,
         return lk_iter_pallas(
             blocks_raw, d1, tmpl, p0_l - radius - a1, v,
             P=P, slack=int(blocks_raw.shape[1]) - WIN, iters=iters,
-            min_det=float(min_det),
-            interpret=jax.default_backend() != "tpu")
+            min_det=float(min_det), interpret=interp)
 
     # target: one block per track with the search margin, loaded once
     blk1, a1 = _load_blocks(img1, p0_l + v - radius, P, margin=margin)

@@ -87,6 +87,15 @@ def _kernel(d_ref, scal_ref, B_ref, tmpl_ref, out_ref, *, P: int,
     tmpl_ref (P, pad8(P), TB) f32            template patch
     out_ref  (2, TB) f32                     final flow
     """
+    tmpl = tmpl_ref[:, :P, :]
+    _iterate(d_ref[0], scal_ref, B_ref, tmpl, out_ref, P=P, WIN=WIN,
+             slack=slack, iters=iters, min_det=min_det)
+
+
+def _iterate(d, scal_ref, B_ref, tmpl, out_ref, *, P: int, WIN: int,
+             slack: int, iters: int, min_det: float):
+    """The shared VMEM-resident iteration loop of `_kernel` /
+    `_kernel_tmpl`."""
     S = P + 3
     # blocks arrive in their storage dtype (bf16 on TPU, ops/klt
     # ._lk_dtype) and upcast HERE, in VMEM — upcasting before the
@@ -95,8 +104,6 @@ def _kernel(d_ref, scal_ref, B_ref, tmpl_ref, out_ref, *, P: int,
     # HBM read. All iteration arithmetic is f32 (matches _bil_t's
     # upcast-at-read contract).
     B = B_ref[...].astype(jnp.float32)
-    tmpl = tmpl_ref[:, :P, :]
-    d = d_ref[0]
     base_x = scal_ref[0]
     base_y = scal_ref[1]
     v0 = jnp.stack([scal_ref[2], scal_ref[3]])
@@ -143,6 +150,33 @@ def _kernel(d_ref, scal_ref, B_ref, tmpl_ref, out_ref, *, P: int,
 
     out_ref[...] = jax.lax.fori_loop(jnp.int32(0), jnp.int32(iters),
                                      body, v0)
+
+
+def _kernel_tmpl(dd_ref, scal_ref, B_ref, T0_ref, out_ref, *, P: int,
+                 WIN: int, slack: int, WIN0: int, slack0: int,
+                 iters: int, min_det: float):
+    """`_kernel` plus in-VMEM template extraction: the raw template
+    blocks (margin=0 gather from the SOURCE image) arrive in storage
+    dtype and the (P, P, TB) template patch is built HERE — the last
+    XLA-side patch machinery (strips load + barrel takes + _bil_t,
+    ops/klt._lk_level template path) folds into the kernel.
+
+    dd_ref   (2, TB) i32   [d  target-row remainder, d0 template-row]
+    scal_ref (6, TB) f32   [base_x, base_y, v0_x, v0_y, f0_x, f0_y];
+                           f0 = (p0_l - radius - anchor0) - 1, the
+                           margin=0 `_qf` fraction (qi clamps to 1)
+    B_ref    (WIN+slack, pad(WIN), TB)    raw target blocks
+    T0_ref   (WIN0+slack0, pad(WIN0), TB) raw template blocks
+    out_ref  (2, TB) f32                  final flow
+    """
+    B0 = T0_ref[...].astype(jnp.float32)
+    B0 = _shift_ladder(B0, dd_ref[1], slack0 - 1, axis=0)
+    # margin=0 clamp bounds: WIN0 = P + 3 makes `_qf`'s qi identically
+    # (1,1), so the sub-window IS rows/cols [0, P+3) and only the
+    # fractional part varies — one bilinear read, no per-track shift
+    tmpl = _bil(B0[:WIN0], scal_ref[4], scal_ref[5], P, 0, 0)
+    _iterate(dd_ref[0], scal_ref, B_ref, tmpl, out_ref, P=P, WIN=WIN,
+             slack=slack, iters=iters, min_det=min_det)
 
 
 @functools.partial(jax.jit, static_argnames=("P", "slack", "iters",
@@ -203,4 +237,69 @@ def lk_iter_pallas(blocks_raw, d, tmpl, base, v0, *, P: int, slack: int,
         out_shape=jax.ShapeDtypeStruct((2, T_pad), f32),
         interpret=interpret,
     )(d_p, scal, Bt, Tt)
+    return out[:, :T].T
+
+
+@functools.partial(jax.jit, static_argnames=("P", "slack", "slack0",
+                                             "iters", "min_det",
+                                             "interpret"))
+def lk_iter_tmpl_pallas(blocks_raw, d, tmpl_raw, d0, f0, base, v0, *,
+                        P: int, slack: int, slack0: int, iters: int,
+                        min_det: float, interpret: bool = False):
+    """`lk_iter_pallas` with IN-KERNEL template extraction from raw
+    margin=0 gathered blocks (load_blocks_pair_pallas output).
+
+    blocks_raw (T, WIN+slack, WIN)     raw target blocks (any float
+                                       dtype; upcast in-kernel)
+    d          (T,) i32                target start_y - anchor_y
+    tmpl_raw   (T, WIN0+slack0, WIN0)  raw template blocks, WIN0 = P+3
+    d0         (T,) i32                template start_y - anchor_y
+    f0         (T, 2) f32              template bilinear fraction:
+                                       (p0_l - radius - anchor0) - 1
+                                       (the margin=0 `_qf` fraction)
+    base       (T, 2) f32              p0_l - radius - anchor1 (float)
+    v0         (T, 2) f32              incoming flow
+    Returns v (T, 2) f32.
+    """
+    T, WINB, WIN = blocks_raw.shape
+    T0, WIN0B, WIN0 = tmpl_raw.shape
+    assert WINB == WIN + slack, (WINB, WIN, slack)
+    assert WIN0B == WIN0 + slack0, (WIN0B, WIN0, slack0)
+    assert WIN0 == P + 3 and T0 == T, (WIN0, P, T0, T)
+    TB = LANE
+    T_pad = -(-max(T, 1) // TB) * TB
+    sub = 16 if jnp.dtype(blocks_raw.dtype).itemsize == 2 else 8
+    WIN_P = -(-WIN // sub) * sub
+    WIN0_P = -(-WIN0 // sub) * sub
+    f32 = jnp.float32
+
+    Bt = jnp.transpose(blocks_raw, (1, 2, 0))
+    Bt = jnp.pad(Bt, ((0, 0), (0, WIN_P - WIN), (0, T_pad - T)))
+    T0t = jnp.transpose(tmpl_raw, (1, 2, 0))
+    T0t = jnp.pad(T0t, ((0, 0), (0, WIN0_P - WIN0), (0, T_pad - T)))
+    scal = jnp.concatenate([base.astype(f32).T, v0.astype(f32).T,
+                            f0.astype(f32).T])
+    scal = jnp.pad(scal, ((0, 0), (0, T_pad - T)))
+    dd = jnp.stack([d.astype(jnp.int32), d0.astype(jnp.int32)])
+    dd = jnp.pad(dd, ((0, 0), (0, T_pad - T)))
+
+    grid = (T_pad // TB,)
+    kernel = functools.partial(_kernel_tmpl, P=P, WIN=WIN, slack=slack,
+                               WIN0=WIN0, slack0=slack0, iters=iters,
+                               min_det=float(min_det))
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((2, TB), lambda g: (jnp.int32(0), g)),
+            pl.BlockSpec((6, TB), lambda g: (jnp.int32(0), g)),
+            pl.BlockSpec((WINB, WIN_P, TB),
+                         lambda g: (jnp.int32(0), jnp.int32(0), g)),
+            pl.BlockSpec((WIN0B, WIN0_P, TB),
+                         lambda g: (jnp.int32(0), jnp.int32(0), g)),
+        ],
+        out_specs=pl.BlockSpec((2, TB), lambda g: (jnp.int32(0), g)),
+        out_shape=jax.ShapeDtypeStruct((2, T_pad), f32),
+        interpret=interpret,
+    )(dd, scal, Bt, T0t)
     return out[:, :T].T

@@ -167,6 +167,7 @@ def test_lk_fused_iter_matches_xla(rng, monkeypatch):
     def run(fused):
         monkeypatch.setenv("SFM_TPU_PALLAS", "1")
         monkeypatch.setenv("SFM_TPU_LK_FUSED", "1" if fused else "0")
+        monkeypatch.setenv("SFM_TPU_LK_FUSED_TMPL", "0")
         jax.clear_caches()
         return np.asarray(klt._lk_level(img0, img1, pts, v0, 8, 6, 1e-4))
 
@@ -177,6 +178,66 @@ def test_lk_fused_iter_matches_xla(rng, monkeypatch):
     # far tighter than the fb-gate/keyframe scales that consume them
     med = np.median(np.abs(v_fused - v_xla))
     assert med < 1e-5, med
+
+
+def test_block_gather_pair_exact(rng):
+    """The pair gather (one per-track loop, two images) returns exactly
+    the per-image windows the single gather returns."""
+    from sfm_tpu.ops.pallas.block_gather_kernel import (
+        load_blocks_pair_pallas, load_blocks_pallas)
+
+    H, W, T, WIN0, WIN1 = 120, 160, 57, 14, 28
+    img0 = jnp.asarray(rng.standard_normal((H, W)), jnp.float32)
+    img1 = jnp.asarray(rng.standard_normal((H, W)), jnp.float32)
+    s0 = jnp.asarray(np.stack([rng.integers(0, W - WIN0 + 1, T),
+                               rng.integers(0, H - WIN0 + 1, T)], -1),
+                     jnp.int32)
+    s1 = jnp.asarray(np.stack([rng.integers(0, W - WIN1 + 1, T),
+                               rng.integers(0, H - WIN1 + 1, T)], -1),
+                     jnp.int32)
+    b0, a0, b1, a1 = load_blocks_pair_pallas(img0, s0, WIN0, img1, s1,
+                                             WIN1, TB=32, interpret=True)
+    r0, ra0 = load_blocks_pallas(img0, s0, WIN0, TB=32, interpret=True)
+    r1, ra1 = load_blocks_pallas(img1, s1, WIN1, TB=32, interpret=True)
+    np.testing.assert_array_equal(np.asarray(a0), np.asarray(ra0))
+    np.testing.assert_array_equal(np.asarray(a1), np.asarray(ra1))
+    np.testing.assert_array_equal(np.asarray(b0), np.asarray(r0))
+    np.testing.assert_array_equal(np.asarray(b1), np.asarray(r1))
+
+
+def test_lk_fused_tmpl_matches_xla(rng, monkeypatch):
+    """The fully fused path (pair gather + in-kernel template
+    extraction, lk_iter_tmpl_pallas) must reproduce the XLA path's
+    flows exactly like the tmpl-outside fused path does: identical
+    anchor/clamp semantics, f32 template values bit-equal (upcast and
+    shifts commute), only reduction order differs."""
+    import jax
+
+    img0 = jnp.asarray(make_textured(rng, 120, 160))
+    img1 = jnp.roll(img0, (2, -3), axis=(0, 1))
+    T = 150
+    pts = jnp.asarray(rng.uniform(20, [140, 100], (T, 2)), jnp.float32)
+    # nonzero incoming flow: the template/search origins must diverge
+    v0 = jnp.asarray(rng.uniform(-2, 2, (T, 2)), jnp.float32)
+
+    def run(pallas, tmpl):
+        monkeypatch.setenv("SFM_TPU_PALLAS", "1" if pallas else "0")
+        monkeypatch.setenv("SFM_TPU_LK_FUSED", "1" if pallas else "0")
+        monkeypatch.setenv("SFM_TPU_LK_FUSED_TMPL", tmpl)
+        jax.clear_caches()
+        return np.asarray(klt._lk_level(img0, img1, pts, v0, 8, 6, 1e-4))
+
+    v_xla = run(False, "0")
+    v_tmpl = run(True, "1")
+    np.testing.assert_allclose(v_tmpl, v_xla, atol=1e-4)
+    med = np.median(np.abs(v_tmpl - v_xla))
+    assert med < 1e-5, med
+    # and against the tmpl-outside fused flavor (same kernel loop; the
+    # bilinear template evaluation order differs at float rounding, so
+    # a couple of marginal tracks drift ~1e-6 per iteration)
+    v_fused = run(True, "0")
+    np.testing.assert_allclose(v_tmpl, v_fused, atol=1e-4)
+    assert np.median(np.abs(v_tmpl - v_fused)) < 1e-5
 
 
 def test_lk_fused_iter_garbage_positions(rng, monkeypatch):
@@ -194,12 +255,14 @@ def test_lk_fused_iter_garbage_positions(rng, monkeypatch):
     pos[bad] = np.nan
     monkeypatch.setenv("SFM_TPU_PALLAS", "1")
     monkeypatch.setenv("SFM_TPU_LK_FUSED", "1")
-    jax.clear_caches()
-    v = np.asarray(klt._lk_level(jnp.asarray(img0), jnp.asarray(img1),
-                                 jnp.asarray(pos),
-                                 jnp.zeros((T, 2), jnp.float32),
-                                 8, 6, 1e-4))
-    assert np.isfinite(v[~bad]).all()
+    for tmpl in ("0", "1"):  # both fused flavors must honor the contract
+        monkeypatch.setenv("SFM_TPU_LK_FUSED_TMPL", tmpl)
+        jax.clear_caches()
+        v = np.asarray(klt._lk_level(jnp.asarray(img0), jnp.asarray(img1),
+                                     jnp.asarray(pos),
+                                     jnp.zeros((T, 2), jnp.float32),
+                                     8, 6, 1e-4))
+        assert np.isfinite(v[~bad]).all()
 
 
 def test_pallas_kernels_x64_clean():
@@ -265,6 +328,27 @@ def test_pallas_kernels_x64_clean():
         jnp.zeros((T, 2), jnp.float32),
         jnp.zeros((T, 2), jnp.float32)))
 
+    from sfm_tpu.ops.pallas.block_gather_kernel import (
+        load_blocks_pair_pallas)
+    from sfm_tpu.ops.pallas.lk_iter_kernel import lk_iter_tmpl_pallas
+
+    traces.append(jax.make_jaxpr(
+        lambda i0, s0, i1, s1: load_blocks_pair_pallas(
+            i0, s0, 13, i1, s1, 28))(
+        img, starts, img, starts))
+    WIN0 = P + 3
+    traces.append(jax.make_jaxpr(
+        lambda b, d, t, d0, f0, ba, v: lk_iter_tmpl_pallas(
+            b, d, t, d0, f0, ba, v, P=P, slack=slack, slack0=slack,
+            iters=4, min_det=1e-4))(
+        jnp.zeros((T, WIN + slack, WIN), jnp.float32),
+        jnp.zeros((T,), jnp.int32),
+        jnp.zeros((T, WIN0 + slack, WIN0), jnp.float32),
+        jnp.zeros((T,), jnp.int32),
+        jnp.zeros((T, 2), jnp.float32),
+        jnp.zeros((T, 2), jnp.float32),
+        jnp.zeros((T, 2), jnp.float32)))
+
     found = 0
     for jx in traces:
         for eqn in pallas_eqns(jx.jaxpr):
@@ -285,4 +369,4 @@ def test_pallas_kernels_x64_clean():
                     if dt is not None:
                         assert jnp.dtype(dt).itemsize <= 4, (
                             f"64-bit index-map output: {imj}")
-    assert found == 3
+    assert found == 5
