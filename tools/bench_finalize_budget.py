@@ -45,7 +45,7 @@ def main():
 
     for rep in range(2):  # rep 0 compiles; rep 1 is the measurement
         tm.clear()
-        s = sp.ScanSfM(ds.K, cfg, n_frames=n, chunk=16)
+        s = sp.ScanSfM(ds.K, cfg, n_frames=n, chunk=32)
         t0 = time.perf_counter()
         for i in range(n):
             s.process(i, ds.records[i].img, grays[i])
@@ -75,7 +75,7 @@ def main():
     import dataclasses as dc
     cfg2 = dc.replace(cfg, loop=dc.replace(cfg.loop, enabled=False))
     for rep in range(2):
-        s = sp.ScanSfM(ds.K, cfg2, n_frames=n, chunk=16)
+        s = sp.ScanSfM(ds.K, cfg2, n_frames=n, chunk=32)
         t0 = time.perf_counter()
         for i in range(n):
             s.process(i, ds.records[i].img, grays[i])
